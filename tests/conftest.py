@@ -1,0 +1,15 @@
+"""Test harness: force an 8-device virtual CPU mesh BEFORE jax imports.
+
+Mirrors SURVEY §4.5: multi-chip logic is tested single-process on virtual
+devices; the driver separately dry-runs the multi-chip path. Real-TPU benches
+live in bench.py, not the test suite.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

@@ -1,0 +1,204 @@
+"""Batched short-Weierstrass (y^2 = x^3 + b) Jacobian point kernels,
+generic over the coordinate field (Fq for G1, Fq2 for G2).
+
+This is the elliptic-curve engine under the Groth16 MSMs (websnark's
+multiexp tables A/B1/B2/C/hExps — SURVEY §2.4, §3.3). Everything is
+branch-free: unified add computes both the add and double paths and
+selects by masks, so a whole batch of heterogeneous cases (P=Q, P=-Q,
+infinity on either side) is one fused VPU pass. Infinity is Z == 0.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..fields.mont import FQ
+from ..fields import limbs as L
+from ..fields import fq2
+
+
+class FqOps:
+    """Adapter giving plain-Fq limb arrays the same interface fq2 exposes."""
+    @staticmethod
+    def add(a, b): return FQ.add(a, b)
+    @staticmethod
+    def sub(a, b): return FQ.sub(a, b)
+    @staticmethod
+    def neg(a): return FQ.neg(a)
+    @staticmethod
+    def mul(a, b): return FQ.mont_mul(a, b)
+    @staticmethod
+    def sqr(a): return FQ.mont_mul(a, a)
+    @staticmethod
+    def is_zero(a): return L.is_zero(a)
+    @staticmethod
+    def select(c, a, b): return L.select(c, a, b)
+    @staticmethod
+    def zeros(batch): return jnp.zeros(batch + (L.N_LIMBS,), jnp.uint32)
+    @staticmethod
+    def one(batch):
+        return jnp.broadcast_to(FQ.one_mont, batch + (L.N_LIMBS,))
+    @staticmethod
+    def broadcast_to(a, batch):
+        return jnp.broadcast_to(a, batch + (L.N_LIMBS,))
+    @staticmethod
+    def batch_shape(a): return a.shape[:-1]
+
+
+class Fq2Ops:
+    add = staticmethod(fq2.add)
+    sub = staticmethod(fq2.sub)
+    neg = staticmethod(fq2.neg)
+    mul = staticmethod(fq2.mul)
+    sqr = staticmethod(fq2.sqr)
+    is_zero = staticmethod(fq2.is_zero)
+    select = staticmethod(fq2.select)
+    zeros = staticmethod(fq2.zeros)
+    broadcast_to = staticmethod(fq2.broadcast_to)
+    @staticmethod
+    def one(batch):
+        return (jnp.broadcast_to(FQ.one_mont, batch + (L.N_LIMBS,)),
+                jnp.zeros(batch + (L.N_LIMBS,), jnp.uint32))
+    @staticmethod
+    def batch_shape(a): return a[0].shape[:-1]
+
+
+@dataclass
+class JacobianCurve:
+    F: Any  # field ops module/class
+
+    # Points are (X, Y, Z) tuples of field elements; Z == 0 encodes infinity.
+
+    def infinity(self, batch_shape=()):
+        z = self.F.zeros(batch_shape)
+        return (z, z, z)
+
+    def is_infinity(self, p):
+        return self.F.is_zero(p[2])
+
+    def select(self, cond, p, q):
+        return tuple(self.F.select(cond, a, b) for a, b in zip(p, q))
+
+    def double(self, p):
+        X, Y, Z = p
+        F = self.F
+        A = F.sqr(X)
+        B = F.sqr(Y)
+        C = F.sqr(B)
+        t = F.sqr(F.add(X, B))
+        D = F.add(*[F.sub(F.sub(t, A), C)] * 2)          # 2((X+B)^2 - A - C)
+        E = F.add(F.add(A, A), A)                        # 3A
+        FF = F.sqr(E)
+        X3 = F.sub(FF, F.add(D, D))
+        C8 = F.add(*[F.add(*[F.add(C, C)] * 2)] * 2)     # 8C
+        Y3 = F.sub(F.mul(E, F.sub(D, X3)), C8)
+        Z3 = F.mul(F.add(Y, Y), Z)
+        return (X3, Y3, Z3)
+
+    def add(self, p, q):
+        """Unified complete addition via masked select (branch-free)."""
+        F = self.F
+        X1, Y1, Z1 = p
+        X2, Y2, Z2 = q
+        Z1Z1 = F.sqr(Z1)
+        Z2Z2 = F.sqr(Z2)
+        U1 = F.mul(X1, Z2Z2)
+        U2 = F.mul(X2, Z1Z1)
+        S1 = F.mul(F.mul(Y1, Z2), Z2Z2)
+        S2 = F.mul(F.mul(Y2, Z1), Z1Z1)
+        H = F.sub(U2, U1)
+        R = F.sub(S2, S1)
+
+        HH = F.sqr(H)
+        HHH = F.mul(H, HH)
+        V = F.mul(U1, HH)
+        X3 = F.sub(F.sub(F.sqr(R), HHH), F.add(V, V))
+        Y3 = F.sub(F.mul(R, F.sub(V, X3)), F.mul(S1, HHH))
+        Z3 = F.mul(F.mul(Z1, Z2), H)
+        added = (X3, Y3, Z3)
+
+        doubled = self.double(p)
+
+        h_zero = F.is_zero(H)
+        r_zero = F.is_zero(R)
+        p_inf = self.is_infinity(p)
+        q_inf = self.is_infinity(q)
+
+        # same x: double if same y, else infinity
+        out = self.select(jnp.logical_and(h_zero, r_zero), doubled, added)
+        inf = self.infinity(self._bshape(out))
+        out = self.select(
+            jnp.logical_and(jnp.logical_and(h_zero, jnp.logical_not(r_zero)),
+                            jnp.logical_and(jnp.logical_not(p_inf),
+                                            jnp.logical_not(q_inf))),
+            inf, out)
+        out = self.select(p_inf, self._bcast(q, out), out)
+        out = self.select(q_inf, self._bcast(p, out), out)
+        return out
+
+    def mixed_add(self, p, q_affine):
+        """p (Jacobian) + q (affine (x, y) with infinity flag). Cheaper than
+        full add: Z2 = 1 eliminates 5 muls. q_inf: (...,1) bool mask."""
+        F = self.F
+        X1, Y1, Z1 = p
+        x2, y2, q_inf = q_affine
+        Z1Z1 = F.sqr(Z1)
+        U2 = F.mul(x2, Z1Z1)
+        S2 = F.mul(F.mul(y2, Z1), Z1Z1)
+        H = F.sub(U2, X1)
+        R = F.sub(S2, Y1)
+
+        HH = F.sqr(H)
+        HHH = F.mul(H, HH)
+        V = F.mul(X1, HH)
+        X3 = F.sub(F.sub(F.sqr(R), HHH), F.add(V, V))
+        Y3 = F.sub(F.mul(R, F.sub(V, X3)), F.mul(Y1, HHH))
+        Z3 = F.mul(Z1, H)
+        added = (X3, Y3, Z3)
+
+        doubled = self.double(p)
+        h_zero = F.is_zero(H)
+        r_zero = F.is_zero(R)
+        p_inf = self.is_infinity(p)
+
+        out = self.select(jnp.logical_and(h_zero, r_zero), doubled, added)
+        inf = self.infinity(self._bshape(out))
+        out = self.select(
+            jnp.logical_and(jnp.logical_and(h_zero, jnp.logical_not(r_zero)),
+                            jnp.logical_not(p_inf)), inf, out)
+        # p infinite -> lift q to Jacobian
+        q_jac = (x2, y2, self.F.one(self._bshape(out)))
+        out = self.select(p_inf, q_jac, out)
+        # q infinite -> p
+        out = self.select(q_inf, p, out)
+        return out
+
+    def neg(self, p):
+        return (p[0], self.F.neg(p[1]), p[2])
+
+    def scalar_mul_bits(self, p, bits_msb):
+        """Batched double-and-add. bits_msb: (..., n_bits) of 0/1 (uint32).
+        p: batched Jacobian point."""
+        n_bits = bits_msb.shape[-1]
+        batch = self._bshape(p)
+        acc = self.infinity(batch)
+
+        def body(i, acc):
+            acc = self.double(acc)
+            bit = jax.lax.dynamic_slice_in_dim(bits_msb, i, 1, axis=-1)
+            return self.select(bit != 0, self.add(acc, p), acc)
+
+        return jax.lax.fori_loop(0, n_bits, body, acc)
+
+    # helpers ---------------------------------------------------------------
+
+    def _bshape(self, p):
+        return self.F.batch_shape(p[0])
+
+    def _bcast(self, p, like):
+        b = self._bshape(like)
+        return tuple(self.F.broadcast_to(c, b) for c in p)

@@ -1,0 +1,173 @@
+"""Multi-chip sharding: device mesh + distributed MSM / NTT (SURVEY §2.5).
+
+The reference is entirely sequential (one Node process + one WASM instance);
+every axis here is new design, mapped to TPU collectives over ICI:
+
+  MSM   points + scalars sharded over the `dev` axis; each chip runs the
+        full windowed run-merge pipeline on its shard (msm/msm.py), partial
+        results are combined with a log-depth fold after an all_gather of
+        D Jacobian points (tiny).
+  NTT   four-step decomposition n = D * L: cyclic-shard by residue j1,
+        local NTT_L per chip, twiddle by w_n^(j1*k2), then the D-point
+        transform across chips via all_gather of the (D, L) rows — one
+        ICI collective per transform.
+
+Multi-host: the same shard_map code runs under jax.distributed with a mesh
+spanning hosts (DCN between slices); init_distributed() wires the
+controller.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+from jax.experimental.shard_map import shard_map
+
+from ..fields.mont import FR
+from ..fields import limbs as L
+from ..curve import g1_jax
+from ..msm.msm import msm
+from ..ntt import ntt as ntt_mod
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "dev") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host controller bring-up (jax.distributed). No-op when
+    single-process."""
+    if num_processes and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+# -- distributed MSM --------------------------------------------------------
+
+def sharded_msm_g1(mesh: Mesh, points_affine, scalars, c: int = 10):
+    """points_affine: (x, y, inf) host/device arrays (n, ...); scalars
+    (n, 16). n must divide evenly by mesh size. Returns a single Jacobian
+    point. Data-parallel over points; one all_gather of D partials."""
+    axis = mesh.axis_names[0]
+    curve = g1_jax.G1
+
+    @partial(shard_map, mesh=mesh, check_rep=False,
+             in_specs=((P(axis), P(axis), P(axis)), P(axis)),
+             out_specs=P(axis))
+    def local_part(pa, sc):
+        part = msm(curve, pa, sc, c=c)            # local shard's MSM
+        return jax.tree_util.tree_map(lambda a: a[None], part)
+
+    parts = local_part(points_affine, scalars)    # leaves (D, 16)
+
+    # log-depth fold of the D partials (single-device work, trivial size)
+    def fold(p):
+        n = jax.tree_util.tree_leaves(p)[0].shape[0]
+        while n > 1:
+            half = n // 2
+            lo = jax.tree_util.tree_map(lambda a: a[:half], p)
+            hi = jax.tree_util.tree_map(lambda a: a[half:n], p)
+            p = curve.add(lo, hi)
+            n = half
+        return jax.tree_util.tree_map(lambda a: a[0], p)
+
+    return fold(parts)
+
+
+# -- distributed NTT (four-step) --------------------------------------------
+
+def _four_step_twiddles(log_n: int, d: int, inverse: bool) -> np.ndarray:
+    """(D, L, 16) mont twiddles w_n^(j1*k2) for the middle step."""
+    n = 1 << log_n
+    l = n // d
+    w = ntt_mod.domain_root(log_n)
+    if inverse:
+        w = pow(w, FR.p - 2, FR.p)
+    rows = []
+    for j1 in range(d):
+        base = pow(w, j1, FR.p)
+        row = [1] * l
+        for k2 in range(1, l):
+            row[k2] = row[k2 - 1] * base % FR.p
+        rows.append(row)
+    flat = [v for row in rows for v in row]
+    return FR.to_mont_host(flat).reshape(d, l, L.N_LIMBS)
+
+
+def _dft_matrix(d: int, inverse: bool) -> np.ndarray:
+    """(D, D, 16) mont matrix w_D^(j1*k1) for the cross-chip step."""
+    assert d & (d - 1) == 0, "device count must be a power of two"
+    w = ntt_mod.domain_root(d.bit_length() - 1)
+    if inverse:
+        w = pow(w, FR.p - 2, FR.p)
+    vals = [pow(w, (j * k) % d, FR.p) for j in range(d) for k in range(d)]
+    return FR.to_mont_host(vals).reshape(d, d, L.N_LIMBS)
+
+
+def sharded_ntt(mesh: Mesh, x_cyclic: jnp.ndarray, log_n: int,
+                inverse: bool = False) -> jnp.ndarray:
+    """Distributed NTT over n = 2^log_n Montgomery-form elements.
+
+    Input layout: x_cyclic is (D, L, 16) where row j1 holds the cyclic
+    residue class x[j1 + D*j2] (j2 = 0..L-1). Output: (D, L, 16) where row
+    k1 holds the contiguous block X[k1*L + k2] — i.e. cyclic in, blocked
+    out (the standard four-step layout exchange).
+    """
+    axis = mesh.axis_names[0]
+    d = mesh.devices.size
+    n = 1 << log_n
+    l = n // d
+    log_l = l.bit_length() - 1
+    tw = jnp.asarray(_four_step_twiddles(log_n, d, inverse))
+    dft = jnp.asarray(_dft_matrix(d, inverse))
+    n_inv_mont = jnp.asarray(FR.to_mont_host([pow(n, FR.p - 2, FR.p)]))[0]
+
+    @partial(shard_map, mesh=mesh, check_rep=False, in_specs=(P(axis), P(axis)),
+             out_specs=P(axis))
+    def run(chunk, tw_row):
+        # chunk: (1, L, 16) — this device's residue class row
+        row = chunk[0]
+        a = ntt_mod.ntt_mont(row, inverse=inverse)   # local NTT_L
+        if inverse:
+            # local intt scales by 1/L; total needs 1/n: undo and rescale
+            l_mont = jnp.asarray(FR.to_mont_host([l]))[0]
+            a = FR.mont_mul(a, l_mont)
+        a = FR.mont_mul(a, tw_row[0])                # middle twiddle
+        rows = jax.lax.all_gather(a, axis)           # (D, L, 16)
+        k1 = jax.lax.axis_index(axis)
+        coeffs = dft[:, k1]                          # (D, 16): w_D^(j1*k1)
+        terms = FR.mont_mul(rows, coeffs[:, None, :])
+        # log-depth fold over the D gathered rows
+        m = terms.shape[0]
+        while m > 1:
+            half = m // 2
+            terms = FR.add(terms[:half], terms[half:m])
+            m = half
+        out = terms[0]
+        if inverse:
+            out = FR.mont_mul(out, n_inv_mont)
+        return out[None]
+
+    return run(x_cyclic, tw)
+
+
+def cyclic_shard(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    """(n, 16) -> (D, n/D, 16) residue-class rows for sharded_ntt."""
+    n = x.shape[0]
+    return x.reshape(n // d, d, L.N_LIMBS).transpose(1, 0, 2)
+
+
+def unblock(x_blocked: jnp.ndarray) -> jnp.ndarray:
+    """(D, L, 16) contiguous blocks -> (n, 16) natural order."""
+    d, l, _ = x_blocked.shape
+    return x_blocked.reshape(d * l, L.N_LIMBS)

@@ -1,0 +1,141 @@
+"""Proof generation services for the operator: key management + prove calls.
+
+Replaces the reference's snark glue layer (createProofGenerator at
+/root/reference/operator/src/snarks/common.ts:10-53, instanced as
+genTxVerifierProof / genWithdrawVerifierProof in snarks/{tx,withdraw}.ts).
+Differences by design:
+  - keys are set up once and cached (npz), not compiled-at-proof-time
+  - proof generation runs the TPU pipeline (groth16/prove.py)
+  - the mandatory self-verify before returning is kept (common.ts:30-38:
+    "Invalid proof generated")
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+from ..config import RollupConfig
+from ..r1cs.circuits import (synthesize_batch_process_tx, synthesize_withdraw)
+from ..groth16.keys import ProvingKey, Proof
+from ..groth16.setup import setup
+from ..groth16.prove import prove
+from ..groth16.verify import verify
+from ..witness.assembler import Transaction, assemble_batch_inputs
+from ..tree.merkle import MerkleTree
+
+
+def _dummy_tx_inputs(batch_size: int, depth: int) -> Dict:
+    """All-zero inputs for structure-only synthesis (check=False). The
+    constraint structure is input-independent (static circuits), so this
+    yields the exact R1CS the setup must bind."""
+    z, d = 0, depth
+    return {
+        "balanceTreeRoot": [z] * batch_size,
+        "txData": [[z] * 8 for _ in range(batch_size)],
+        "txSenderPublicKey": [[z, z] for _ in range(batch_size)],
+        "txSenderBalance": [z] * batch_size,
+        "txSenderNonce": [z] * batch_size,
+        "txSenderPathElements": [[z] * d for _ in range(batch_size)],
+        "txRecipientPublicKey": [[z, z] for _ in range(batch_size)],
+        "txRecipientBalance": [z] * batch_size,
+        "txRecipientNonce": [z] * batch_size,
+        "txRecipientPathElements": [[z] * d for _ in range(batch_size)],
+        "intermediateBalanceTreeRoot": [z] * batch_size,
+        "intermediateBalanceTreePathElements": [[z] * d
+                                                for _ in range(batch_size)],
+    }
+
+
+@dataclass
+class ProveStats:
+    """Per-stage timings — the observability the reference lacks
+    (SURVEY §5 tracing obligation)."""
+    witness_s: float = 0.0
+    prove_s: float = 0.0
+    verify_s: float = 0.0
+
+
+class TxProver:
+    """BatchProcessTx(batch, depth) prover with cached keys."""
+
+    def __init__(self, cfg: RollupConfig, key_path: Optional[str] = None,
+                 setup_seed: Optional[bytes] = None):
+        self.cfg = cfg
+        self.key_path = key_path
+        self.pk: Optional[ProvingKey] = None
+        self.setup_seed = setup_seed
+        self.stats = ProveStats()
+
+    def structure(self):
+        return synthesize_batch_process_tx(
+            _dummy_tx_inputs(self.cfg.batch_size, self.cfg.tree_depth),
+            self.cfg.batch_size, self.cfg.tree_depth, check=False)
+
+    def ensure_keys(self) -> ProvingKey:
+        if self.pk is not None:
+            return self.pk
+        if self.key_path and os.path.exists(self.key_path):
+            self.pk = ProvingKey.load(self.key_path)
+            return self.pk
+        r1cs = self.structure().r1cs
+        self.pk = setup(r1cs, seed=self.setup_seed)
+        if self.key_path:
+            self.pk.save(self.key_path)
+        return self.pk
+
+    def prove_batch(self, tree: MerkleTree, txs: List[Transaction],
+                    r: Optional[int] = None, s: Optional[int] = None
+                    ) -> Tuple[Proof, List[int], MerkleTree]:
+        """Assemble inputs from the tree snapshot, synthesize the witness,
+        prove, self-verify. Returns (proof, public inputs, final tree)."""
+        pk = self.ensure_keys()
+        t0 = time.time()
+        inputs, final_tree = assemble_batch_inputs(tree, txs)
+        res = synthesize_batch_process_tx(
+            inputs, self.cfg.batch_size, self.cfg.tree_depth)
+        self.stats.witness_s = time.time() - t0
+
+        t0 = time.time()
+        proof = prove(pk, res.r1cs, res.witness, r=r, s=s)
+        self.stats.prove_s = time.time() - t0
+
+        t0 = time.time()
+        if not verify(pk.vk, proof, res.public_signals):
+            raise RuntimeError("Invalid proof generated")  # common.ts:36-38
+        self.stats.verify_s = time.time() - t0
+        return proof, res.public_signals, final_tree
+
+
+class WithdrawProver:
+    """Withdraw-circuit prover (genWithdrawVerifierProof analog)."""
+
+    def __init__(self, key_path: Optional[str] = None,
+                 setup_seed: Optional[bytes] = None):
+        self.key_path = key_path
+        self.pk: Optional[ProvingKey] = None
+        self.setup_seed = setup_seed
+
+    def ensure_keys(self) -> ProvingKey:
+        if self.pk is not None:
+            return self.pk
+        if self.key_path and os.path.exists(self.key_path):
+            self.pk = ProvingKey.load(self.key_path)
+            return self.pk
+        r1cs = synthesize_withdraw(0, 0, check=False).r1cs
+        self.pk = setup(r1cs, seed=self.setup_seed)
+        if self.key_path:
+            self.pk.save(self.key_path)
+        return self.pk
+
+    def prove_withdraw(self, formatted_priv_key: int, nullifier: int,
+                       r: Optional[int] = None, s: Optional[int] = None
+                       ) -> Tuple[Proof, List[int]]:
+        pk = self.ensure_keys()
+        res = synthesize_withdraw(formatted_priv_key, nullifier)
+        proof = prove(pk, res.r1cs, res.witness, r=r, s=s)
+        if not verify(pk.vk, proof, res.public_signals):
+            raise RuntimeError("Invalid proof generated")
+        return proof, res.public_signals

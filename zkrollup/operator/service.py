@@ -1,0 +1,160 @@
+"""Operator HTTP service — REST parity with the reference's express app
+(/root/reference/operator/src/app.ts:25-31):
+
+    GET  /contracts           deployed contract info
+    GET  /users/index/<i>     user by balance-tree index
+    GET  /users/address/<a>   user by address (= hex multiHash(pubkey))
+    POST /send                submit a signed L2 transfer
+
+plus GET /metrics (batch-prover counters; the observability endpoint the
+reference lacks — SURVEY §5). Stdlib http.server: the service tier is not
+performance-critical (SURVEY §2.5) and must run without extra deps.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from ..config import RollupConfig
+from ..ref.mimc import multi_hash
+from ..ref.eddsa import Signature
+from ..chain.simulator import RollUpContract
+from ..witness.assembler import Transaction
+from .state import OperatorState
+from .queue import TxQueue
+from .validation import validate_tx, ValidationError
+from .batchd import BatchDaemon
+
+
+class OperatorApp:
+    def __init__(self, cfg: RollupConfig, state: OperatorState,
+                 queue: TxQueue, contract: RollUpContract,
+                 daemon: Optional[BatchDaemon] = None):
+        self.cfg = cfg
+        self.state = state
+        self.queue = queue
+        self.contract = contract
+        self.daemon = daemon
+
+    # route handlers (transport-independent; used by tests directly) -------
+
+    def get_contracts(self) -> dict:
+        return {"rollUpAddress": RollUpContract.ADDRESS,
+                "balanceTreeDepth": self.cfg.tree_depth,
+                "batchSize": self.cfg.batch_size}
+
+    def get_user_by_index(self, index: int) -> dict:
+        key = self.contract.get_user_key(index)
+        if key == 0:
+            return {"error": "User not found"}
+        return self._user_payload(key)
+
+    def get_user_by_address(self, address: str) -> dict:
+        """address = hex of multiHash(pubkey) (users.ts:9-74)."""
+        try:
+            key = int(address, 16)
+        except ValueError:
+            return {"error": "Invalid address"}
+        return self._user_payload(key)
+
+    def _user_payload(self, key_hash: int) -> dict:
+        idx, px, py, bal, nonce = self.contract.get_user_data(key_hash)
+        if px == 0 and py == 0:
+            return {"error": "User not found"}
+        return {"balanceTreeLeafIndex": idx,
+                "publicKey": [str(px), str(py)],
+                "balance": str(bal), "nonce": nonce,
+                "address": hex(multi_hash([px, py]))}
+
+    def post_send(self, body: dict) -> dict:
+        required = ("from", "to", "amount", "fee", "nonce", "signature")
+        if (any(k not in body for k in required)
+                or not isinstance(body.get("signature"), dict)
+                or "R8" not in body["signature"]
+                or "S" not in body["signature"]):
+            return {"error": "Missing parameters",
+                    "from": "(required) int", "to": "(required) int",
+                    "amount": "(required) int, in Wei",
+                    "fee": "(required) int, in Wei (min 0.3% of amount)",
+                    "nonce": "(required) int",
+                    "signature": {"R8": "(required) [int, int]",
+                                  "S": "(required) int"}}
+        try:
+            sig = Signature(R8=(int(body["signature"]["R8"][0]),
+                                int(body["signature"]["R8"][1])),
+                            S=int(body["signature"]["S"]))
+            tx = Transaction(from_index=int(body["from"]),
+                             to_index=int(body["to"]),
+                             amount=int(body["amount"]), fee=int(body["fee"]),
+                             nonce=int(body["nonce"]), signature=sig)
+        except (ValueError, TypeError, IndexError):
+            return {"error": "Invalid paramters, unable to convert to Integers!"}
+
+        tree = self.state.load_tree()
+        try:
+            validate_tx(self.cfg, tree, tx)
+        except ValidationError as e:
+            return {"error": str(e)}
+        self.queue.push(tx)
+        return {"status": "Transaction accepted"}
+
+    def get_metrics(self) -> dict:
+        m = {"queue_pending": self.queue.pending_count()}
+        if self.daemon is not None:
+            m.update(self.daemon.metrics.snapshot())
+        return m
+
+
+def make_http_server(app: OperatorApp, host: str = "127.0.0.1",
+                     port: int = 3000) -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, payload, code=200):
+            data = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            parts = self.path.strip("/").split("/")
+            if self.path == "/contracts":
+                self._reply(app.get_contracts())
+            elif len(parts) == 3 and parts[0] == "users" and parts[1] == "index":
+                self._reply(app.get_user_by_index(int(parts[2])))
+            elif len(parts) == 3 and parts[0] == "users" and parts[1] == "address":
+                self._reply(app.get_user_by_address(parts[2]))
+            elif self.path == "/metrics":
+                self._reply(app.get_metrics())
+            else:
+                self._reply({"error": "Not found"}, 404)
+
+        def do_POST(self):
+            if self.path != "/send":
+                self._reply({"error": "Not found"}, 404)
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                body = json.loads(self.rfile.read(length) or b"{}")
+            except json.JSONDecodeError:
+                self._reply({"error": "Invalid JSON"}, 400)
+                return
+            resp = app.post_send(body)
+            self._reply(resp, 400 if "error" in resp else 201)
+
+        def log_message(self, *args):  # quiet
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def start_app(app: OperatorApp, port: int = 3000) -> ThreadingHTTPServer:
+    """app.ts:34-64 analog: serve REST; returns the running server (caller
+    owns shutdown)."""
+    server = make_http_server(app, port=port)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server

@@ -72,7 +72,9 @@ def _unstringify(x):
 
 class TreeStore:
     def __init__(self, path: str = ":memory:"):
-        self.conn = sqlite3.connect(path)
+        # served from the HTTP thread pool too; single-writer discipline is
+        # the operator's (SURVEY §5 race notes), not sqlite's
+        self.conn = sqlite3.connect(path, check_same_thread=False)
         self.conn.executescript(_DDL)
         self.conn.commit()
 

@@ -1,13 +1,17 @@
-"""Test harness: force an 8-device virtual CPU mesh BEFORE jax imports.
+"""Test harness: force an 8-device virtual CPU mesh.
 
 Mirrors SURVEY §4.5: multi-chip logic is tested single-process on virtual
 devices; the driver separately dry-runs the multi-chip path. Real-TPU benches
 live in bench.py, not the test suite.
+
+The session may pre-import jax with a real-TPU platform pinned (e.g. the
+axon tunnel registers itself from sitecustomize BEFORE this file runs), so
+setting JAX_PLATFORMS here is not enough — use jax.config.update, which wins
+over both the env var and an already-registered default.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags += " --xla_force_host_platform_device_count=8"
@@ -17,3 +21,15 @@ if "xla_force_host_platform_device_count" not in flags:
 if "xla_backend_optimization_level" not in flags:
     flags += " --xla_backend_optimization_level=1"
 os.environ["XLA_FLAGS"] = flags.strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the curve/MSM graphs take minutes to compile
+# on XLA:CPU but are identical across test runs — compile once ever.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

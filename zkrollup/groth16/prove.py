@@ -1,0 +1,153 @@
+"""Groth16 prover — the TPU pipeline.
+
+This is the rebuild of websnark's `groth16GenProof` inner loop
+(/root/reference/operator/src/snarks/common.ts:29; SURVEY §3.3 "HOTTEST"):
+
+  1. sparse A/B/C evaluation over the domain   -> batched COO mat-vec
+     (gather + Montgomery mul + lazy-carry segment-sum, all VPU)
+  2. quotient polynomial h = (A*B - C)/Z        -> iNTT + coset NTT kernels
+     (Z is constant on the coset g*H, so the division is one scalar mul)
+  3. pi_A / pi_B / pi_B1 / pi_C / h MSMs        -> Pippenger kernels over the
+     packed key tables (msm/msm.py), G1 and G2
+  4. blinding combine (r, s)                    -> a handful of host point ops
+
+Deterministic mode: pass r and s explicitly — same inputs, same key => same
+proof bytes (the distributed-prover determinism gate, SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import secrets
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.mont import FR
+from ..fields import limbs as L
+from ..ntt.ntt import intt_mont, coset_ntt_mont, coset_intt_mont, COSET_SHIFT
+from ..msm.msm import msm
+from ..curve import g1_jax, g2_jax
+from ..ref import bn254 as ref
+from ..ref.bn254 import R as FR_MOD
+from .keys import ProvingKey, Proof
+from .qap import to_coo
+
+MSM_WINDOW = 10
+
+
+# -- sparse matrix-vector product over the domain -----------------------------
+
+def _spmv(row, var, coeff_mont, w_mont, m: int):
+    """eval[j] = sum_{k in row j} coeff_k * w[var_k]  (mod r), Montgomery.
+
+    Terms are Montgomery products (canonical, < 2^16 per limb); the per-row
+    sum uses per-limb uint32 lazy accumulation (segment_sum), then one carry
+    pass and a 2-mont_mul fold reduces the <= 2^272-bit lazy value mod r:
+    V = lo + hi*2^256  =>  V mod r = lo*R*R^-1 + hi*R^2*R^-1 = mont(lo, one)
+    + mont(hi, R^2)."""
+    terms = FR.mont_mul(coeff_mont, w_mont[var])          # (nnz, 16)
+    sums = jax.ops.segment_sum(terms, row, num_segments=m)  # lazy limbs
+    ext = jnp.concatenate(
+        [sums, jnp.zeros((m, 2), jnp.uint32)], axis=-1)
+    ext = L.propagate_carries(ext)
+    lo = ext[:, :L.N_LIMBS]
+    hi = jnp.concatenate(
+        [ext[:, L.N_LIMBS:], jnp.zeros((m, L.N_LIMBS - 2), jnp.uint32)],
+        axis=-1)
+    # lo < 2^256: mont(lo, R mod p) = lo*R*R^-1 = lo (mod p);
+    # hi < 2^32:  mont(hi, R^2)     = hi*R = hi*2^256 (mod p)
+    return FR.add(FR.mont_mul(lo, FR.one_mont), FR.mont_mul(hi, FR.r2_limbs))
+
+
+@partial(jax.jit, static_argnames=("m",))
+def _abc_evals(coo_arrays, w_mont, m: int):
+    (ar, av, ac), (br, bv, bc), (cr, cv, cc) = coo_arrays
+    return (_spmv(ar, av, ac, w_mont, m),
+            _spmv(br, bv, bc, w_mont, m),
+            _spmv(cr, cv, cc, w_mont, m))
+
+
+@jax.jit
+def _quotient_plain(a_e, b_e, c_e, zinv_mont):
+    """Domain evaluations (mont) -> h coefficients in PLAIN form (MSM
+    scalar layout). Z(g*w^i) = g^m - 1 is constant on the coset."""
+    pa = intt_mont(a_e)
+    pb = intt_mont(b_e)
+    pc = intt_mont(c_e)
+    ca = coset_ntt_mont(pa)
+    cb = coset_ntt_mont(pb)
+    cc = coset_ntt_mont(pc)
+    h_cos = FR.mont_mul(FR.sub(FR.mont_mul(ca, cb), cc), zinv_mont)
+    h = coset_intt_mont(h_cos)
+    return FR.from_mont(h)
+
+
+_msm_g1 = jax.jit(lambda pts, sc: msm(g1_jax.G1, pts, sc, c=MSM_WINDOW))
+_msm_g2 = jax.jit(lambda pts, sc: msm(g2_jax.G2, pts, sc, c=MSM_WINDOW))
+
+
+def _g1_result(jac) -> Optional[tuple]:
+    pt = g1_jax.to_affine_host(
+        tuple(np.asarray(c).reshape(1, L.N_LIMBS) for c in jac))
+    return pt[0]
+
+
+def _g2_result(jac) -> Optional[tuple]:
+    rs = lambda c: (np.asarray(c[0]).reshape(1, L.N_LIMBS),
+                    np.asarray(c[1]).reshape(1, L.N_LIMBS))
+    return g2_jax.to_affine_host(tuple(rs(c) for c in jac))[0]
+
+
+def prove(pk: ProvingKey, r1cs, witness: List[int],
+          r: Optional[int] = None, s: Optional[int] = None) -> Proof:
+    """Generate a Groth16 proof for `witness` (full assignment, var 0 = 1)."""
+    if r1cs.n_vars != pk.n_vars or r1cs.n_public != pk.n_public:
+        raise ValueError("proving key does not match this constraint system")
+    if r is None:
+        r = secrets.randbelow(FR_MOD)
+    if s is None:
+        s = secrets.randbelow(FR_MOD)
+
+    coo = to_coo(r1cs)
+    m = coo.m
+    assert m == pk.domain_size, "key/domain mismatch"
+
+    w_plain = jnp.asarray(L.ints_to_limbs([w % FR_MOD for w in witness]))
+    w_mont = FR.to_mont(w_plain)
+
+    # 1-2: evaluations + quotient polynomial
+    coo_dev = ((jnp.asarray(coo.a_row), jnp.asarray(coo.a_var),
+                jnp.asarray(coo.a_coeff)),
+               (jnp.asarray(coo.b_row), jnp.asarray(coo.b_var),
+                jnp.asarray(coo.b_coeff)),
+               (jnp.asarray(coo.c_row), jnp.asarray(coo.c_var),
+                jnp.asarray(coo.c_coeff)))
+    a_e, b_e, c_e = _abc_evals(coo_dev, w_mont, m)
+    z_coset = (pow(COSET_SHIFT, m, FR_MOD) - 1) % FR_MOD
+    zinv_mont = FR.const_mont(pow(z_coset, FR_MOD - 2, FR_MOD))
+    h_plain = _quotient_plain(a_e, b_e, c_e, zinv_mont)  # (m, 16)
+
+    # 3: the five multiexponentiations
+    to_dev = lambda t: tuple(jnp.asarray(a) for a in t)
+    pi_a_msm = _g1_result(_msm_g1(to_dev(pk.a_g1), w_plain))
+    pi_b1_msm = _g1_result(_msm_g1(to_dev(pk.b1_g1), w_plain))
+    pi_c_msm = _g1_result(_msm_g1(to_dev(pk.c_g1), w_plain[pk.n_public:]))
+    pi_h_msm = _g1_result(_msm_g1(to_dev(pk.h_g1), h_plain[:m - 1]))
+    (bx0, bx1), (by0, by1), binf = pk.b2_g2
+    b2_dev = ((jnp.asarray(bx0), jnp.asarray(bx1)),
+              (jnp.asarray(by0), jnp.asarray(by1)), jnp.asarray(binf))
+    pi_b_msm = _g2_result(_msm_g2(b2_dev, w_plain))
+
+    # 4: blinding combine (host single-point ops)
+    g1a, g1m = ref.g1_add, ref.g1_mul
+    pi_a = g1a(g1a(pk.alpha1, pi_a_msm), g1m(pk.delta1, r))
+    pi_b = ref.g2_add(ref.g2_add(pk.beta2, pi_b_msm),
+                      ref.g2_mul(pk.delta2, s))
+    pi_b1 = g1a(g1a(pk.beta1, pi_b1_msm), g1m(pk.delta1, s))
+    pi_c = g1a(g1a(pi_c_msm, pi_h_msm),
+               g1a(g1a(g1m(pi_a, s), g1m(pi_b1, r)),
+                   g1m(pk.delta1, (-r * s) % FR_MOD)))
+    return Proof(a=pi_a, b=pi_b, c=pi_c)

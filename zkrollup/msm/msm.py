@@ -177,6 +177,10 @@ def msm(curve: JacobianCurve, points_affine, scalars: jnp.ndarray,
         c: int = 12):
     """points_affine: (x, y, inf_mask) pytree, leaves (n, ...); scalars:
     (n, 16) plain-form limbs. Returns one Jacobian point (batch ())."""
+    # clamp the window to the problem size: 2^c buckets are useless (and
+    # costly in the bucket-reduction scans) beyond ~n buckets
+    n_sc = scalars.shape[0]
+    c = max(2, min(c, max(n_sc.bit_length() - 1, 2)))
     n_windows = (256 + c - 1) // c
 
     x, y, inf = points_affine

@@ -86,40 +86,65 @@ class FieldCtx:
         return self.add(a, a)
 
     def mont_mul(self, a, b):
-        """Montgomery product abR^-1 mod p. a, b canonical 16-bit limbs."""
+        """Montgomery product abR^-1 mod p. a, b canonical 16-bit limbs.
+
+        Layout note (TPU): computed LIMB-MAJOR — operands are transposed to
+        (16, *batch) so the batch axis lands on the 128-wide VPU lanes and
+        the 16-limb axis on sublanes. In the natural (*batch, 16) layout the
+        last (lane) dim is 16/128 occupied, an 8x waste on every one of the
+        ~512 int32 multiplies per element; two transposes amortize over the
+        whole CIOS loop. Large same-shape TPU batches dispatch to the fused
+        Pallas kernel (pallas_mont.py)."""
+        from . import pallas_mont
+        if pallas_mont.should_use(a, b):
+            return pallas_mont.mont_mul(self, a, b)
         batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-        a = jnp.broadcast_to(a, batch + (N_LIMBS,))
-        b = jnp.broadcast_to(b, batch + (N_LIMBS,))
-        n = self.mod_limbs
+        a = jnp.moveaxis(jnp.broadcast_to(a, batch + (N_LIMBS,)), -1, 0)
+        b = jnp.moveaxis(jnp.broadcast_to(b, batch + (N_LIMBS,)), -1, 0)
+        n = self.mod_limbs.reshape((N_LIMBS,) + (1,) * len(batch))
         n0 = self._n0inv_u32
-        zero_col = jnp.zeros(batch + (1,), jnp.uint32)
+        zero_row = jnp.zeros((1,) + batch, jnp.uint32)
 
         def body(i, t):
             # t += a_i * b  (hi/lo split keeps every add < 2^17 per step;
             # accumulator stays < 16*4*2^16 + carries < 2^23)
-            ai = jax.lax.dynamic_slice_in_dim(a, i, 1, axis=-1)
+            ai = jax.lax.dynamic_slice_in_dim(a, i, 1, axis=0)
             p = ai * b
-            t = t.at[..., :N_LIMBS].add(p & MASK)
-            t = t.at[..., 1:N_LIMBS + 1].add(p >> LIMB_BITS)
+            t = t.at[:N_LIMBS].add(p & MASK)
+            t = t.at[1:N_LIMBS + 1].add(p >> LIMB_BITS)
             # m chosen so limb 0 of (t + m*n) is divisible by 2^16;
             # limb 0's stored low bits are exact (nothing below it carries in)
-            m = (t[..., 0:1] * n0) & MASK
+            m = (t[0:1] * n0) & MASK
             q = m * n
-            t = t.at[..., :N_LIMBS].add(q & MASK)
-            t = t.at[..., 1:N_LIMBS + 1].add(q >> LIMB_BITS)
+            t = t.at[:N_LIMBS].add(q & MASK)
+            t = t.at[1:N_LIMBS + 1].add(q >> LIMB_BITS)
             # push limb 0's (now fully-known) carry and shift down one limb
-            t = t.at[..., 1:2].add(t[..., 0:1] >> LIMB_BITS)
-            return jnp.concatenate([t[..., 1:], zero_col], axis=-1)
+            t = t.at[1:2].add(t[0:1] >> LIMB_BITS)
+            return jnp.concatenate([t[1:], zero_row], axis=0)
 
         t = jax.lax.fori_loop(
-            0, N_LIMBS, body, jnp.zeros(batch + (N_LIMBS + 2,), jnp.uint32))
-        t = propagate_carries(t)
-        # result < 2p: one conditional subtraction, comparing 17 limbs
+            0, N_LIMBS, body, jnp.zeros((N_LIMBS + 2,) + batch, jnp.uint32))
+
+        # carry-canonicalize (limb-major scan), then one conditional
+        # subtraction of p over the 18 limbs (result < 2p)
+        def carry_step(c, limb):
+            v = limb + c
+            return v >> LIMB_BITS, v & MASK
+
+        _, t = jax.lax.scan(carry_step, jnp.zeros_like(t[0]), t)
         ext_n = jnp.concatenate(
-            [self.mod_limbs, jnp.zeros((2,), jnp.uint32)], axis=-1)
-        d, borrow = sub_with_borrow(t, ext_n)
-        out = L.select(borrow == 0, d, t)
-        return out[..., :N_LIMBS]
+            [n, jnp.zeros((2,) + (1,) * len(batch), jnp.uint32)], axis=0)
+        ext_n = jnp.broadcast_to(ext_n, t.shape)
+
+        def sub_step(borrow, ab):
+            ti, ni = ab
+            v = ti - ni - borrow  # uint32 wraparound ok
+            return (v >> 31) & 1, v & MASK
+
+        borrow, d = jax.lax.scan(
+            sub_step, jnp.zeros_like(t[0]), (t, ext_n))
+        out = jnp.where((borrow == 0)[None], d, t)
+        return jnp.moveaxis(out[:N_LIMBS], 0, -1)
 
     def mont_sqr(self, a):
         return self.mont_mul(a, a)

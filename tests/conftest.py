@@ -27,9 +27,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the curve/MSM graphs take minutes to compile
-# on XLA:CPU but are identical across test runs — compile once ever.
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NOTE: the persistent compilation cache (jax_compilation_cache_dir) is
+# deliberately NOT enabled here: serializing the large CPU MSM executables
+# for the cache segfaults this jaxlib (observed in put_executable_and_time
+# during test_g1_msm_small). With -O1 the recompiles are cheap enough.

@@ -1,0 +1,117 @@
+"""Distributed (8-virtual-device mesh) layer: relayout collective, sharded
+NTT/MSM, and the fully sharded quotient pipeline vs the single-device
+reference pipeline (differential, SURVEY §4.5)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from zkrollup.dist.mesh import (make_mesh, cyclic_shard, block_shard,
+                                unblock, blocked_to_cyclic, sharded_ntt,
+                                sharded_msm_g1, sharded_msm_g2,
+                                sharded_quotient)
+from zkrollup.fields.mont import FR
+from zkrollup.fields import limbs as L
+from zkrollup.ntt.ntt import (ntt_mont, intt_mont, coset_ntt_mont,
+                              coset_intt_mont, COSET_SHIFT)
+from zkrollup.curve import g1_jax, g2_jax
+from zkrollup.ref import bn254 as ref
+
+D = 8
+LOG_N = 8  # 256-point domain: L = 32, L % D == 0
+N = 1 << LOG_N
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= D
+    return make_mesh(D)
+
+
+@pytest.fixture(scope="module")
+def x_mont():
+    rng = np.random.RandomState(11)
+    return jnp.asarray(FR.to_mont_host(
+        [int(v) for v in rng.randint(1, 1 << 30, size=N)]))
+
+
+class TestRelayout:
+    def test_blocked_to_cyclic_matches_host(self, mesh, x_mont):
+        blocked = block_shard(x_mont, D)
+        cyc = blocked_to_cyclic(mesh, blocked)
+        want = np.asarray(cyclic_shard(x_mont, D))
+        assert (np.asarray(cyc) == want).all()
+
+
+class TestShardedNtt:
+    def test_forward_matches_single_device(self, mesh, x_mont):
+        got = unblock(sharded_ntt(mesh, cyclic_shard(x_mont, D), LOG_N))
+        want = ntt_mont(x_mont)
+        assert (np.asarray(got) == np.asarray(want)).all()
+
+    def test_inverse_roundtrip(self, mesh, x_mont):
+        fwd = sharded_ntt(mesh, cyclic_shard(x_mont, D), LOG_N)
+        back = sharded_ntt(mesh, blocked_to_cyclic(mesh, fwd), LOG_N,
+                           inverse=True)
+        assert (np.asarray(unblock(back)) == np.asarray(x_mont)).all()
+
+
+class TestShardedMsm:
+    def test_g1_matches_host(self, mesh):
+        rng = np.random.RandomState(5)
+        n = D * 8
+        ks = [int(v) for v in rng.randint(1, 1 << 20, size=n)]
+        ss = [int(v) for v in rng.randint(1, 1 << 20, size=n)]
+        pts = [ref.g1_mul(ref.G1_GEN, k) for k in ks]
+        x, y, inf = g1_jax.pack_affine_host(pts)
+        sc = jnp.asarray(L.ints_to_limbs(ss))
+        res = sharded_msm_g1(
+            mesh, (jnp.asarray(x), jnp.asarray(y), jnp.asarray(inf)), sc, c=4)
+        got = g1_jax.to_affine_host(
+            tuple(np.asarray(c).reshape(1, L.N_LIMBS) for c in res))[0]
+        want = ref.g1_mul(ref.G1_GEN, sum(k * s for k, s in zip(ks, ss)))
+        assert got == want
+
+    def test_g2_matches_host(self, mesh):
+        rng = np.random.RandomState(6)
+        n = D * 4
+        ks = [int(v) for v in rng.randint(1, 1 << 16, size=n)]
+        ss = [int(v) for v in rng.randint(1, 1 << 16, size=n)]
+        pts = [ref.g2_mul(ref.G2_GEN, k) for k in ks]
+        (x0, x1), (y0, y1), inf = g2_jax.pack_affine_host(pts)
+        sc = jnp.asarray(L.ints_to_limbs(ss))
+        res = sharded_msm_g2(
+            mesh, ((jnp.asarray(x0), jnp.asarray(x1)),
+                   (jnp.asarray(y0), jnp.asarray(y1)), jnp.asarray(inf)),
+            sc, c=4)
+        rs = lambda c: (np.asarray(c[0]).reshape(1, L.N_LIMBS),
+                        np.asarray(c[1]).reshape(1, L.N_LIMBS))
+        got = g2_jax.to_affine_host(tuple(rs(c) for c in res))[0]
+        want = ref.g2_mul(ref.G2_GEN, sum(k * s for k, s in zip(ks, ss)))
+        assert got == want
+
+
+class TestShardedQuotient:
+    def test_matches_single_device_pipeline(self, mesh):
+        rng = np.random.RandomState(7)
+        a = jnp.asarray(FR.to_mont_host(
+            [int(v) for v in rng.randint(1, 1 << 30, size=N)]))
+        b = jnp.asarray(FR.to_mont_host(
+            [int(v) for v in rng.randint(1, 1 << 30, size=N)]))
+        c = jnp.asarray(FR.to_mont_host(
+            [int(v) for v in rng.randint(1, 1 << 30, size=N)]))
+        z_coset = (pow(COSET_SHIFT, N, FR.p) - 1) % FR.p
+        zinv = FR.const_mont(pow(z_coset, FR.p - 2, FR.p))
+
+        # single-device reference pipeline (groth16/prove.py _quotient_plain)
+        ca = coset_ntt_mont(intt_mont(a))
+        cb = coset_ntt_mont(intt_mont(b))
+        cc = coset_ntt_mont(intt_mont(c))
+        want = FR.from_mont(coset_intt_mont(
+            FR.mont_mul(FR.sub(FR.mont_mul(ca, cb), cc), zinv)))
+
+        got = sharded_quotient(
+            mesh, cyclic_shard(a, D), cyclic_shard(b, D), cyclic_shard(c, D),
+            zinv, LOG_N)
+        assert (np.asarray(unblock(got)) == np.asarray(want)).all()

@@ -1,0 +1,174 @@
+"""snarkjs/websnark format interop + circom R1CS loader + verifier codegen.
+
+Round-trip coverage of the serialization dialects the reference stack speaks
+(SURVEY §2.2 "Binarify" row; binarify.ts:10-207): snarkjs JSON keys,
+websnark packed binary, circom circuit JSON, Solidity verifier source."""
+
+import json
+
+import pytest
+
+from zkrollup.groth16 import setup, prove, verify
+from zkrollup.groth16 import interop as io
+from zkrollup.groth16.keys import Proof
+from zkrollup.r1cs.builder import Builder
+from zkrollup.r1cs import circom_loader
+from zkrollup.chain.genverifier import generate_verifier
+from zkrollup.ref.bn254 import R as FR_MOD, Q
+
+SEED = b"interop-test-seed"
+
+
+def cubic_builder(x=3, y=5):
+    bld = Builder()
+    out = bld.alloc_output_deferred()
+    ypub = bld.alloc_public_input(y)
+    xv = bld.alloc(x)
+    x3 = bld.mul(bld.mul(xv, xv), xv)
+    bld.bind_output(out, x3 + ypub)
+    return bld
+
+
+@pytest.fixture(scope="module")
+def pk():
+    return setup(cubic_builder().r1cs(), seed=SEED)
+
+
+@pytest.fixture(scope="module")
+def proof_pub(pk):
+    bld = cubic_builder()
+    return prove(pk, bld.r1cs(), bld.witness(), r=5, s=6), \
+        bld.public_signals()
+
+
+class TestSnarkjsJson:
+    def test_pk_export_shape(self, pk):
+        j = io.proving_key_to_snarkjs(pk, cubic_builder().r1cs())
+        assert j["protocol"] == "groth"
+        assert int(j["nVars"]) == pk.n_vars
+        assert int(j["nPublic"]) == pk.n_public - 1
+        assert int(j["domainSize"]) == pk.domain_size
+        assert len(j["A"]) == pk.n_vars
+        assert len(j["hExps"]) == pk.domain_size
+        # JSON-serializable end to end
+        json.dumps(j)
+
+    def test_pk_roundtrip_produces_same_proofs(self, pk, proof_pub):
+        r1cs = cubic_builder().r1cs()
+        j = io.proving_key_to_snarkjs(pk, r1cs)
+        pk2 = io.proving_key_from_snarkjs(j, vk=pk.vk)
+        bld = cubic_builder()
+        p2 = prove(pk2, bld.r1cs(), bld.witness(), r=5, s=6)
+        assert p2 == proof_pub[0]
+
+    def test_vk_roundtrip(self, pk):
+        j = io.verifying_key_to_snarkjs(pk.vk)
+        vk2 = io.verifying_key_from_snarkjs(j)
+        assert vk2 == pk.vk
+
+    def test_vk_json_verifies_proof(self, pk, proof_pub):
+        vk2 = io.verifying_key_from_snarkjs(
+            io.verifying_key_to_snarkjs(pk.vk))
+        proof, pub = proof_pub
+        assert verify(vk2, proof, pub)
+
+    def test_proof_roundtrip(self, proof_pub):
+        proof, _ = proof_pub
+        assert io.proof_from_snarkjs(io.proof_to_snarkjs(proof)) == proof
+
+
+class TestWebsnarkBinary:
+    def test_witness_roundtrip(self):
+        w = [1, 2, FR_MOD - 1, 0, 12345678901234567890]
+        data = io.binarify_witness(w)
+        assert len(data) == 32 * len(w)
+        assert io.parse_websnark_witness(data) == [x % FR_MOD for x in w]
+
+    def test_key_binary_roundtrip(self, pk):
+        r1cs = cubic_builder().r1cs()
+        j = io.proving_key_to_snarkjs(pk, r1cs)
+        blob = io.binarify_proving_key(j)
+        back = io.parse_websnark_proving_key(blob)
+        ju = io.unstringify_bigints(j)
+        assert back["nVars"] == ju["nVars"]
+        assert back["nPublic"] == ju["nPublic"]
+        assert back["domainSize"] == ju["domainSize"]
+        assert back["A"] == ju["A"]
+        assert back["B1"] == ju["B1"]
+        assert back["B2"] == ju["B2"]
+        assert back["hExps"] == ju["hExps"]
+        assert back["polsA"] == ju["polsA"]
+        assert back["polsB"] == ju["polsB"]
+        # C: skipped entries come back as infinity placeholders
+        npub = ju["nPublic"]
+        assert back["C"][npub + 1:] == ju["C"][npub + 1:]
+
+    def test_binary_layout_header(self, pk):
+        """Header layout per binarify.ts:150-161: nVars, nPublic,
+        domainSize, then 7 pointers; first pointer lands right after the
+        5 vk points (3 G1 + 2 G2 = 3*64 + 2*128 = 448 bytes + 40 header)."""
+        import struct
+        j = io.proving_key_to_snarkjs(pk, cubic_builder().r1cs())
+        blob = io.binarify_proving_key(j)
+        n_vars, n_pub, m = struct.unpack_from("<III", blob, 0)
+        ptrs = struct.unpack_from("<7I", blob, 12)
+        assert (n_vars, n_pub, m) == (pk.n_vars, pk.n_public - 1,
+                                      pk.domain_size)
+        assert ptrs[0] == 40 + 448
+        assert all(ptrs[i] < ptrs[i + 1] for i in range(6))
+
+    def test_prove_with_binary_roundtripped_key(self, pk, proof_pub):
+        """Full interop loop: our key -> snarkjs JSON -> websnark binary ->
+        parsed back -> device key -> identical proof."""
+        r1cs = cubic_builder().r1cs()
+        blob = io.binarify_proving_key(
+            io.proving_key_to_snarkjs(pk, r1cs))
+        pk2 = io.proving_key_from_snarkjs(
+            io.parse_websnark_proving_key(blob), vk=pk.vk)
+        bld = cubic_builder()
+        p2 = prove(pk2, bld.r1cs(), bld.witness(), r=5, s=6)
+        assert p2 == proof_pub[0]
+        assert verify(pk.vk, p2, bld.public_signals())
+
+
+class TestCircomLoader:
+    def test_r1cs_roundtrip(self):
+        r1cs = cubic_builder().r1cs()
+        d = circom_loader.r1cs_to_circom_dict(r1cs)
+        r2 = circom_loader.load_circom_dict(d)
+        assert r2.n_vars == r1cs.n_vars
+        assert r2.n_outputs == r1cs.n_outputs
+        assert r2.n_public_inputs == r1cs.n_public_inputs
+        assert r2.constraints == r1cs.constraints
+
+    def test_setup_and_prove_from_loaded_circuit(self, tmp_path):
+        """Foreign-circuit path: compile-shape JSON -> R1CS -> setup ->
+        prove with an externally supplied witness."""
+        bld = cubic_builder()
+        path = str(tmp_path / "circuit.json")
+        with open(path, "w") as f:
+            json.dump(circom_loader.r1cs_to_circom_dict(bld.r1cs()), f)
+        r1cs = circom_loader.load_circom_json(path)
+        pk = setup(r1cs, seed=SEED)
+        proof = prove(pk, r1cs, bld.witness(), r=2, s=3)
+        assert verify(pk.vk, proof, bld.public_signals())
+
+
+class TestGenVerifier:
+    def test_source_embeds_key_and_abi(self, pk):
+        src = generate_verifier(pk.vk, name="CubicVerifier")
+        n = len(pk.vk.ic) - 1
+        assert "contract CubicVerifier" in src
+        assert f"uint256[{n}] memory input" in src
+        # every IC point's coordinates appear in the source
+        for pt in pk.vk.ic:
+            assert str(pt[0]) in src and str(pt[1]) in src
+        assert str(pk.vk.alpha1[0]) in src
+        assert str(Q) in src
+        # beta2 embedded in EVM (imag, real) order: x1 before x0
+        x0, x1 = pk.vk.beta2[0]
+        assert src.index(str(x1)) < src.index(str(x0))
+
+    def test_balanced_braces(self, pk):
+        src = generate_verifier(pk.vk)
+        assert src.count("{") == src.count("}")

@@ -193,6 +193,34 @@ class TestValidation:
         with pytest.raises(ValidationError, match="Invalid signature"):
             validate_tx(CFG, self._tree(), tx)
 
+    def test_pending_projection_allows_chained_nonces(self):
+        """A sender's second tx (nonce 2) must be admitted while tx nonce 1
+        is still queued — the batch circuit chains them in one proof."""
+        tree = self._tree()
+        tx1 = signed_tx(PRIV_A, 0, 1, WEI // 10, WEI // 100, 1)
+        tx2 = signed_tx(PRIV_A, 0, 1, WEI // 10, WEI // 100, 2)
+        with pytest.raises(ValidationError, match="nonce"):
+            validate_tx(CFG, tree, tx2)              # without projection
+        validate_tx(CFG, tree, tx2, pending=[tx1])   # with projection
+
+    def test_pending_projection_tracks_balance(self):
+        """A queued debit must count against the sender's spendable funds."""
+        tree = self._tree()  # A holds 1 ETH
+        tx1 = signed_tx(PRIV_A, 0, 1, WEI * 7 // 10, WEI // 100, 1)
+        tx2 = signed_tx(PRIV_A, 0, 1, WEI * 5 // 10, WEI // 100, 2)
+        with pytest.raises(ValidationError, match="unable to send"):
+            validate_tx(CFG, tree, tx2, pending=[tx1])
+
+    def test_pending_projection_credits_recipient(self):
+        """A queued credit enables the recipient to spend it onward."""
+        tree = self._tree()  # B holds 1 ETH
+        tx1 = signed_tx(PRIV_A, 0, 1, WEI * 9 // 10, WEI // 100, 1)
+        # B forwards 1.5 ETH, possible only with A's queued credit
+        tx2 = signed_tx(PRIV_B, 1, 0, WEI * 15 // 10, WEI // 100, 1)
+        with pytest.raises(ValidationError, match="unable to send"):
+            validate_tx(CFG, tree, tx2)
+        validate_tx(CFG, tree, tx2, pending=[tx1])
+
 
 class TestQueue:
     def test_cursors_and_fifo(self):

@@ -1,0 +1,105 @@
+"""Fused Pallas G1 add/double kernels vs the generic weierstrass path.
+
+Runs in Pallas interpret mode on the CPU test mesh; the same kernel code
+compiles to Mosaic on TPU (bench path). Differential strategy per SURVEY §4.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from zkrollup.curve import g1_jax, pallas_curve
+from zkrollup.curve.g1_jax import G1
+from zkrollup.fields.mont import FQ
+from zkrollup.fields import limbs as L
+from zkrollup.ref import bn254 as ref
+
+
+def _points(n, seed=0, with_inf=True):
+    rng = np.random.RandomState(seed)
+    pts = []
+    for i in range(n):
+        if with_inf and i % 7 == 3:
+            pts.append(None)
+        else:
+            pts.append(ref.g1_mul(ref.G1_GEN, int(rng.randint(1, 1 << 30))))
+    return pts
+
+
+def _jac(pts):
+    return g1_jax.pack_jacobian_host(pts)
+
+
+def _unpack(p):
+    return g1_jax.to_affine_host(p)
+
+
+N = 16  # small; interpret mode is slow
+
+
+class TestFusedAdd:
+    def test_add_matches_generic(self):
+        p = _jac(_points(N, seed=1))
+        q = _jac(_points(N, seed=2))
+        got = pallas_curve.g1_add(p, q)
+        want = G1.add(p, q)
+        assert _unpack(got) == _unpack(want)
+
+    def test_add_matches_host_ints(self):
+        pa, qa = _points(N, seed=3), _points(N, seed=4)
+        got = _unpack(pallas_curve.g1_add(_jac(pa), _jac(qa)))
+        want = [ref.g1_add(a, b) for a, b in zip(pa, qa)]
+        assert got == want
+
+    def test_double_path_in_add(self):
+        """P + P must take the doubling branch."""
+        pa = _points(N, seed=5, with_inf=False)
+        p = _jac(pa)
+        got = _unpack(pallas_curve.g1_add(p, p))
+        want = [ref.g1_double(a) for a in pa]
+        assert got == want
+
+    def test_inverse_gives_infinity(self):
+        pa = _points(N, seed=6, with_inf=False)
+        na = [ref.g1_neg(a) for a in pa]
+        got = _unpack(pallas_curve.g1_add(_jac(pa), _jac(na)))
+        assert got == [None] * N
+
+    def test_identity_cases(self):
+        pa = _points(N, seed=7, with_inf=False)
+        inf = _jac([None] * N)
+        assert _unpack(pallas_curve.g1_add(_jac(pa), inf)) == pa
+        assert _unpack(pallas_curve.g1_add(inf, _jac(pa))) == pa
+        assert _unpack(pallas_curve.g1_add(inf, inf)) == [None] * N
+
+
+class TestFusedDouble:
+    def test_double_matches_host(self):
+        pa = _points(N, seed=8, with_inf=False)
+        got = _unpack(pallas_curve.g1_double(_jac(pa)))
+        assert got == [ref.g1_double(a) for a in pa]
+
+    def test_double_infinity(self):
+        assert _unpack(pallas_curve.g1_double(_jac([None] * N))) == [None] * N
+
+
+class TestDispatchGate:
+    def test_should_use_shapes(self):
+        big = tuple(jnp.zeros((pallas_curve.MIN_BATCH, L.N_LIMBS),
+                              jnp.uint32) for _ in range(3))
+        small = tuple(jnp.zeros((4, L.N_LIMBS), jnp.uint32)
+                      for _ in range(3))
+        # CPU backend -> auto mode refuses
+        assert not pallas_curve.should_use(big, big)
+        import os
+        old = pallas_curve._ENV
+        pallas_curve._ENV = "1"
+        try:
+            assert pallas_curve.should_use(big, big)
+            assert not pallas_curve.should_use(small, small)
+            mismatched = tuple(
+                jnp.zeros((pallas_curve.MIN_BATCH * 2, L.N_LIMBS),
+                          jnp.uint32) for _ in range(3))
+            assert not pallas_curve.should_use(big, mismatched)
+        finally:
+            pallas_curve._ENV = old

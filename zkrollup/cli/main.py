@@ -33,8 +33,11 @@ from ..chain.calldata import to_solidity_proof, rollup_calldata
 WEI = 10 ** 18
 
 
-def to_wei(eth: float) -> int:
-    return int(eth * WEI)
+def to_wei(eth) -> int:
+    """Exact decimal conversion (float multiplication drifts: 0.57 * 1e18
+    is not 57 * 10^16 in binary floating point)."""
+    from decimal import Decimal
+    return int(Decimal(str(eth)) * WEI)
 
 
 def from_wei(wei: int) -> float:

@@ -10,7 +10,7 @@ from ..fields import limbs as L
 from ..ref import bn254 as ref
 from .weierstrass import JacobianCurve, FqOps
 
-G1 = JacobianCurve(FqOps)
+G1 = JacobianCurve(FqOps, fused="g1")
 
 
 def pack_affine_host(points) -> tuple:

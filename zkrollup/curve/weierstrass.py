@@ -70,6 +70,7 @@ class Fq2Ops:
 @dataclass
 class JacobianCurve:
     F: Any  # field ops module/class
+    fused: str = ""  # "g1" -> dispatch big batches to pallas_curve kernels
 
     # Points are (X, Y, Z) tuples of field elements; Z == 0 encodes infinity.
 
@@ -84,6 +85,13 @@ class JacobianCurve:
         return tuple(self.F.select(cond, a, b) for a, b in zip(p, q))
 
     def double(self, p):
+        if self.fused == "g1":
+            from . import pallas_curve
+            if pallas_curve.should_use(p):
+                return pallas_curve.g1_double(p)
+        return self._double_generic(p)
+
+    def _double_generic(self, p):
         X, Y, Z = p
         F = self.F
         A = F.sqr(X)
@@ -100,7 +108,17 @@ class JacobianCurve:
         return (X3, Y3, Z3)
 
     def add(self, p, q):
-        """Unified complete addition via masked select (branch-free)."""
+        """Unified complete addition via masked select (branch-free).
+        Large same-shape TPU batches dispatch to the fused Pallas kernel
+        (pallas_curve.py: one VMEM-resident kernel instead of ~24
+        pallas_mont launches)."""
+        if self.fused == "g1":
+            from . import pallas_curve
+            if pallas_curve.should_use(p, q):
+                return pallas_curve.g1_add(p, q)
+        return self._add_generic(p, q)
+
+    def _add_generic(self, p, q):
         F = self.F
         X1, Y1, Z1 = p
         X2, Y2, Z2 = q

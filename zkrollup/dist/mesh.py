@@ -30,7 +30,7 @@ from jax.experimental.shard_map import shard_map
 
 from ..fields.mont import FR
 from ..fields import limbs as L
-from ..curve import g1_jax
+from ..curve import g1_jax, g2_jax
 from ..msm.msm import msm
 from ..ntt import ntt as ntt_mod
 
@@ -71,6 +71,35 @@ def sharded_msm_g1(mesh: Mesh, points_affine, scalars, c: int = 10):
     parts = local_part(points_affine, scalars)    # leaves (D, 16)
 
     # log-depth fold of the D partials (single-device work, trivial size)
+    def fold(p):
+        n = jax.tree_util.tree_leaves(p)[0].shape[0]
+        while n > 1:
+            half = n // 2
+            lo = jax.tree_util.tree_map(lambda a: a[:half], p)
+            hi = jax.tree_util.tree_map(lambda a: a[half:n], p)
+            p = curve.add(lo, hi)
+            n = half
+        return jax.tree_util.tree_map(lambda a: a[0], p)
+
+    return fold(parts)
+
+
+def sharded_msm_g2(mesh: Mesh, points_affine, scalars, c: int = 10):
+    """G2 variant of sharded_msm_g1: points ((x0,x1),(y0,y1),inf) with
+    leaves (n, 16)/(n, 1), sharded over the mesh axis; one all_gather of D
+    Jacobian partials + log-depth fold."""
+    axis = mesh.axis_names[0]
+    curve = g2_jax.G2
+    pt_spec = ((P(axis), P(axis)), (P(axis), P(axis)), P(axis))
+
+    @partial(shard_map, mesh=mesh, check_rep=False,
+             in_specs=(pt_spec, P(axis)), out_specs=P(axis))
+    def local_part(pa, sc):
+        part = msm(curve, pa, sc, c=c)
+        return jax.tree_util.tree_map(lambda a: a[None], part)
+
+    parts = local_part(points_affine, scalars)
+
     def fold(p):
         n = jax.tree_util.tree_leaves(p)[0].shape[0]
         while n > 1:
@@ -171,3 +200,117 @@ def unblock(x_blocked: jnp.ndarray) -> jnp.ndarray:
     """(D, L, 16) contiguous blocks -> (n, 16) natural order."""
     d, l, _ = x_blocked.shape
     return x_blocked.reshape(d * l, L.N_LIMBS)
+
+
+def block_shard(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    """(n, 16) -> (D, n/D, 16) contiguous blocks (inverse of unblock)."""
+    n = x.shape[0]
+    return x.reshape(d, n // d, L.N_LIMBS)
+
+
+def blocked_to_cyclic(mesh: Mesh, x_blocked: jnp.ndarray) -> jnp.ndarray:
+    """Relayout (D, L, 16) contiguous blocks -> (D, L, 16) cyclic residue
+    rows with ONE tiled all_to_all — the sequence-parallel index exchange
+    (SURVEY §2.5 SP row: Ulysses-style shuffle, not ring).
+
+    Device k1 holds X[k1*L + k2]; device r must end with X[r + D*j].
+    k1's elements for r are k2 = ((r - k1*L) mod D) + D*t, t = 0..L/D-1,
+    and they land contiguously at cyclic slots t + base where
+    base = (k1*L + ((r - k1*L) mod D) - r) / D.
+    """
+    axis = mesh.axis_names[0]
+    d = mesh.devices.size
+    l = x_blocked.shape[1]
+    assert l % d == 0, "L must divide by device count"
+    t_cnt = l // d
+
+    @partial(shard_map, mesh=mesh, check_rep=False, in_specs=P(axis),
+             out_specs=P(axis))
+    def run(chunk):
+        row = chunk[0]                                # (L, 16)
+        k1 = jax.lax.axis_index(axis)
+        r_ids = jnp.arange(d, dtype=jnp.int32)
+        # send-side gather: S[r, t] = row[((r - k1*L) mod D) + D*t]
+        k2_0 = jnp.mod(r_ids - k1 * l, d)             # (D,)
+        send_idx = k2_0[:, None] + d * jnp.arange(t_cnt, dtype=jnp.int32)
+        s = jnp.take(row, send_idx.reshape(-1), axis=0)
+        s = s.reshape(d, t_cnt, L.N_LIMBS)
+        # piece r -> device r; received R[j1] = S_{j1}[r]
+        recv = jax.lax.all_to_all(s, axis, split_axis=0, concat_axis=0,
+                                  tiled=False)
+        r = jax.lax.axis_index(axis)
+        # receive-side placement: row j1 occupies cyclic slots
+        # [base(j1), base(j1) + L/D), base = (j1*L + ((r - j1*L) mod D) - r)/D
+        j1 = jnp.arange(d, dtype=jnp.int32)
+        base = (j1 * l + jnp.mod(r - j1 * l, d) - r) // d
+        out_idx = (base[:, None]
+                   + jnp.arange(t_cnt, dtype=jnp.int32)[None, :]).reshape(-1)
+        out = jnp.zeros((l, L.N_LIMBS), jnp.uint32)
+        out = out.at[out_idx].set(recv.reshape(-1, L.N_LIMBS))
+        return out[None]
+
+    return run(x_blocked)
+
+
+# -- fully distributed quotient + proof-point pipeline ------------------------
+
+def _coset_powers_blocked(log_n: int, d: int, inverse: bool) -> np.ndarray:
+    """(D, L, 16) mont coset powers g^i in blocked (natural-index) layout."""
+    n = 1 << log_n
+    g = pow(ntt_mod.COSET_SHIFT, FR.p - 2, FR.p) if inverse \
+        else ntt_mod.COSET_SHIFT
+    pw = [1] * n
+    for i in range(1, n):
+        pw[i] = pw[i - 1] * g % FR.p
+    return FR.to_mont_host(pw).reshape(d, n // d, L.N_LIMBS)
+
+
+def sharded_quotient(mesh: Mesh, a_cyc, b_cyc, c_cyc, zinv_mont, log_m: int):
+    """Distributed h = (A*B - C)/Z over the coset, all layouts sharded:
+
+        iNTT (4-step, all_gather)  -> blocked coeffs
+        coset scale (local)        -> blocked
+        relayout (all_to_all)      -> cyclic
+        NTT                        -> blocked coset evals
+        pointwise (local)          -> blocked
+        relayout + iNTT + inverse coset scale -> blocked h coeffs
+
+    Inputs are (D, L, 16) cyclic Montgomery-form domain evaluations; output
+    is (D, L, 16) blocked PLAIN-form h coefficients (MSM scalar layout).
+    """
+    d = mesh.devices.size
+    cs_f = jnp.asarray(_coset_powers_blocked(log_m, d, False))
+    cs_i = jnp.asarray(_coset_powers_blocked(log_m, d, True))
+
+    def to_coset_evals(x_cyc):
+        coeffs = sharded_ntt(mesh, x_cyc, log_m, inverse=True)
+        scaled = FR.mont_mul(coeffs, cs_f)     # blocked, local
+        return sharded_ntt(mesh, blocked_to_cyclic(mesh, scaled), log_m)
+
+    ca = to_coset_evals(a_cyc)
+    cb = to_coset_evals(b_cyc)
+    cc = to_coset_evals(c_cyc)
+    h_cos = FR.mont_mul(FR.sub(FR.mont_mul(ca, cb), cc), zinv_mont)
+    h_coeffs = sharded_ntt(mesh, blocked_to_cyclic(mesh, h_cos), log_m,
+                           inverse=True)
+    h = FR.mont_mul(h_coeffs, cs_i)
+    return FR.from_mont(h)
+
+
+def distributed_prove_core(mesh: Mesh, a_cyc, b_cyc, c_cyc, zinv_mont,
+                           log_m: int, g1_tables, g2_table, c=8):
+    """One full distributed Groth16 compute step (the multi-chip training
+    step analog): sharded quotient pipeline + the five sharded MSMs.
+
+    g1_tables: dict name -> ((x, y, inf), scalars_blocked) for a/b1/c/h —
+    h's scalars are the quotient output and are passed as None. Returns
+    (h_blocked, dict of Jacobian results)."""
+    h = sharded_quotient(mesh, a_cyc, b_cyc, c_cyc, zinv_mont, log_m)
+    results = {}
+    for name, (pts, sc) in g1_tables.items():
+        sc_use = unblock(h)[:pts[0].shape[0]] if sc is None else sc
+        results[name] = sharded_msm_g1(mesh, pts, sc_use, c=c)
+    if g2_table is not None:
+        pts2, sc2 = g2_table
+        results["b2"] = sharded_msm_g2(mesh, pts2, sc2, c=c)
+    return h, results

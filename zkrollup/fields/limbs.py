@@ -53,6 +53,11 @@ def limbs_to_int(a) -> int:
 def limbs_to_ints(a) -> list:
     a = np.asarray(a, dtype=np.uint64)
     flat = a.reshape(-1, N_LIMBS)
+    if flat.size and flat.max() <= 0xFFFF:
+        # canonical limbs: one C-speed int.from_bytes per row
+        raw = np.ascontiguousarray(flat.astype("<u2")).tobytes()
+        return [int.from_bytes(raw[i * 32:(i + 1) * 32], "little")
+                for i in range(flat.shape[0])]
     out = []
     for row in flat:
         v = 0

@@ -29,6 +29,7 @@ from ..fields.mont import FR
 from ..fields import limbs as L
 from ..ntt.ntt import intt_mont, coset_ntt_mont, coset_intt_mont, COSET_SHIFT
 from ..msm.msm import msm
+from ..msm.glv import msm_glv
 from ..curve import g1_jax, g2_jax
 from ..ref import bn254 as ref
 from ..ref.bn254 import R as FR_MOD
@@ -130,12 +131,15 @@ def prove(pk: ProvingKey, r1cs, witness: List[int],
     zinv_mont = FR.const_mont(pow(z_coset, FR_MOD - 2, FR_MOD))
     h_plain = _quotient_plain(a_e, b_e, c_e, zinv_mont)  # (m, 16)
 
-    # 3: the five multiexponentiations
-    to_dev = lambda t: tuple(jnp.asarray(a) for a in t)
-    pi_a_msm = _g1_result(_msm_g1(to_dev(pk.a_g1), w_plain))
-    pi_b1_msm = _g1_result(_msm_g1(to_dev(pk.b1_g1), w_plain))
-    pi_c_msm = _g1_result(_msm_g1(to_dev(pk.c_g1), w_plain[pk.n_public:]))
-    pi_h_msm = _g1_result(_msm_g1(to_dev(pk.h_g1), h_plain[:m - 1]))
+    # 3: the five multiexponentiations. G1 tables run the GLV path (half
+    # the windows; msm/glv.py) with host-int scalars; G2 stays 256-bit.
+    w_ints = [w % FR_MOD for w in witness]
+    h_ints = L.limbs_to_ints(np.asarray(h_plain)[:m - 1])
+    pi_a_msm = _g1_result(msm_glv(pk.a_g1, w_ints, c=MSM_WINDOW))
+    pi_b1_msm = _g1_result(msm_glv(pk.b1_g1, w_ints, c=MSM_WINDOW))
+    pi_c_msm = _g1_result(msm_glv(pk.c_g1, w_ints[pk.n_public:],
+                                  c=MSM_WINDOW))
+    pi_h_msm = _g1_result(msm_glv(pk.h_g1, h_ints, c=MSM_WINDOW))
     (bx0, bx1), (by0, by1), binf = pk.b2_g2
     b2_dev = ((jnp.asarray(bx0), jnp.asarray(bx1)),
               (jnp.asarray(by0), jnp.asarray(by1)), jnp.asarray(binf))

@@ -35,9 +35,22 @@ def _g2_valid(p) -> bool:
 
 def verify(vk: VerifyingKey, proof: Proof, public_signals: Sequence[int]
            ) -> bool:
-    """e(-A, B) * e(alpha, beta) * e(vk_x, gamma) * e(C, delta) == 1."""
+    """e(-A, B) * e(alpha, beta) * e(vk_x, gamma) * e(C, delta) == 1.
+
+    Dispatches to the native C++ pairing engine when available (bit-identical
+    acceptance; differentially tested in tests/test_native.py), falling back
+    to the pure-Python pairing."""
     if len(public_signals) != len(vk.ic) - 1:
         return False
+    from ..native import engine
+    if engine.available():
+        return engine.groth16_verify(vk, proof, public_signals) == 1
+    return _verify_py(vk, proof, public_signals)
+
+
+def _verify_py(vk: VerifyingKey, proof: Proof,
+               public_signals: Sequence[int]) -> bool:
+    """Pure-Python ground truth for the native verifier."""
     if not (_g1_valid(proof.a) and _g1_valid(proof.c)
             and _g2_valid(proof.b)):
         return False

@@ -37,7 +37,9 @@ def _tree(fn, *pts):
 
 
 def window_digits(scalars: jnp.ndarray, c: int, n_windows: int) -> jnp.ndarray:
-    """scalars: (n, 16) plain-form limbs -> (n_windows, n) uint32 digits."""
+    """scalars: (n, 16) plain-form limbs -> (n_windows, n) uint32 digits.
+    Only the low n_windows*c bits are consumed — callers with short scalars
+    (e.g. GLV halves, msm/glv.py) pass a smaller n_windows."""
     n = scalars.shape[0]
     shifts = jnp.arange(L.LIMB_BITS, dtype=jnp.uint32)
     bits = ((scalars[:, :, None] >> shifts) & 1).reshape(n, 256)  # lsb-first
@@ -174,14 +176,15 @@ def _window_bucket_sum(curve: JacobianCurve, digits_row, pts, c: int):
 
 
 def msm(curve: JacobianCurve, points_affine, scalars: jnp.ndarray,
-        c: int = 12):
+        c: int = 12, n_bits: int = 256):
     """points_affine: (x, y, inf_mask) pytree, leaves (n, ...); scalars:
-    (n, 16) plain-form limbs. Returns one Jacobian point (batch ())."""
+    (n, 16) plain-form limbs, each < 2^n_bits. Returns one Jacobian point
+    (batch ())."""
     # clamp the window to the problem size: 2^c buckets are useless (and
     # costly in the bucket-reduction scans) beyond ~n buckets
     n_sc = scalars.shape[0]
     c = max(2, min(c, max(n_sc.bit_length() - 1, 2)))
-    n_windows = (256 + c - 1) // c
+    n_windows = (n_bits + c - 1) // c
 
     x, y, inf = points_affine
     n = scalars.shape[0]

@@ -91,6 +91,14 @@ class TxQueue:
     def pending_count(self) -> int:
         return self.last_inserted - self.last_processed
 
+    def pending_txs(self) -> List[Transaction]:
+        """All queued-but-unprocessed txs in order (admission projection)."""
+        rows = self.conn.execute(
+            "SELECT body FROM tx_queue WHERE idx >= ? AND idx < ? "
+            "ORDER BY idx", (self.last_processed, self.last_inserted)
+        ).fetchall()
+        return [_tx_from_json(r[0]) for r in rows]
+
     def peek_batch(self, batch_size: int) -> Optional[List[Transaction]]:
         """Next batch_size txs in order, or None if not enough queued."""
         if self.pending_count() < batch_size:

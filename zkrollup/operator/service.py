@@ -95,7 +95,10 @@ class OperatorApp:
 
         tree = self.state.load_tree()
         try:
-            validate_tx(self.cfg, tree, tx)
+            # admission sees the projected state of queued txs so a sender
+            # can chain transfers within one batch (validation.py docstring)
+            validate_tx(self.cfg, tree, tx,
+                        pending=self.queue.pending_txs())
         except ValidationError as e:
             return {"error": str(e)}
         self.queue.push(tx)

@@ -6,7 +6,7 @@ EdDSA signature over formatTx."""
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
+from typing import Dict, List, Optional, Sequence
 
 from ..config import RollupConfig
 from ..ref import eddsa
@@ -22,8 +22,37 @@ class ValidationError(Exception):
         return self.message
 
 
-def validate_tx(cfg: RollupConfig, tree: MerkleTree, tx: Transaction) -> None:
-    """Raises ValidationError on the first failed check (send.ts order)."""
+def project_pending(tree: MerkleTree, pending: Sequence[Transaction]
+                    ) -> Dict[int, dict]:
+    """Overlay of {leaf_index: {balance, nonce}} after applying the effects
+    of queued-but-unsettled transactions, exactly as the batch circuit will
+    (sender debited amount+fee, nonce advanced; recipient credited amount).
+
+    The reference validates /send against the LAST SETTLED tree only
+    (send.ts:73) — and never drains its queue, so two consecutive txs from
+    one account can never both be admitted. Since our batch daemon actually
+    settles batches (batchd.py), admission must see the projected state or
+    the second tx of every sender-chained batch would bounce."""
+    overlay: Dict[int, dict] = {}
+
+    def state(idx: int) -> dict:
+        if idx not in overlay:
+            raw = tree.get_leaf_raw(idx)
+            overlay[idx] = {"balance": raw["balance"], "nonce": raw["nonce"]}
+        return overlay[idx]
+
+    for tx in pending:
+        snd = state(tx.from_index)
+        snd["balance"] -= tx.amount + tx.fee
+        snd["nonce"] = tx.nonce
+        state(tx.to_index)["balance"] += tx.amount
+    return overlay
+
+
+def validate_tx(cfg: RollupConfig, tree: MerkleTree, tx: Transaction,
+                pending: Sequence[Transaction] = ()) -> None:
+    """Raises ValidationError on the first failed check (send.ts order).
+    `pending` = queued txs ahead of this one (projected onto the state)."""
     if tx.from_index >= tree.next_leaf_index:
         raise ValidationError("Sender (from) not found")
     if tx.to_index >= tree.next_leaf_index:
@@ -32,6 +61,10 @@ def validate_tx(cfg: RollupConfig, tree: MerkleTree, tx: Transaction) -> None:
     sender = tree.get_leaf_raw(tx.from_index)
     if sender is None:
         raise ValidationError("Sender (from) not found")
+    if pending:
+        proj = project_pending(tree, pending)
+        if tx.from_index in proj:
+            sender = dict(sender, **proj[tx.from_index])
 
     if sender["balance"] < tx.amount:
         raise ValidationError(

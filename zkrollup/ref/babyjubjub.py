@@ -53,9 +53,10 @@ def double(p):
     return add(p, p)
 
 
-def mul(p, e: int):
+def mul_py(p, e: int):
     """Scalar multiplication, parity with babyjub.js mulPointEscalar
-    (plain double-and-add on the raw integer scalar, no reduction)."""
+    (plain double-and-add on the raw integer scalar, no reduction).
+    Pure-Python ground truth."""
     res = IDENTITY
     acc = p
     while e:
@@ -64,6 +65,15 @@ def mul(p, e: int):
         acc = add(acc, acc)
         e >>= 1
     return res
+
+
+def mul(p, e: int):
+    """mul_py, dispatched to the native C++ engine when available
+    (bit-identical; differentially tested in tests/test_native.py)."""
+    from ..native import engine
+    if e > 0 and engine.available():
+        return engine.bjj_mul(tuple(p), e)
+    return mul_py(p, e)
 
 
 def in_subgroup(p) -> bool:

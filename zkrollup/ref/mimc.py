@@ -52,17 +52,28 @@ def mimcsponge_permute(x_l: int, x_r: int, k: int, n_rounds: int = N_ROUNDS_SPON
     return x_l, x_r
 
 
-def multi_hash(values, key: int = 0, n_rounds: int = N_ROUNDS_SPONGE) -> int:
+def multi_hash_py(values, key: int = 0, n_rounds: int = N_ROUNDS_SPONGE) -> int:
     """Sponge over a list of field elements; returns one output (R).
 
     Absorb: R += v; (R, C) = permute(R, C, key). Matches circomlib
-    mimcsponge.multiHash with numOutputs=1.
+    mimcsponge.multiHash with numOutputs=1. Pure-Python ground truth.
     """
     r, c = 0, 0
     for v in values:
         r = (r + v) % P
         r, c = mimcsponge_permute(r, c, key, n_rounds)
     return r
+
+
+def multi_hash(values, key: int = 0, n_rounds: int = N_ROUNDS_SPONGE) -> int:
+    """multi_hash_py, dispatched to the native C++ engine when available
+    (bit-identical; differentially tested in tests/test_native.py)."""
+    if n_rounds == N_ROUNDS_SPONGE:
+        from ..native import engine
+        if engine.available():
+            return engine.mimc_multi_hash(
+                [v % P for v in values], key % P)
+    return multi_hash_py(values, key, n_rounds)
 
 
 def hash_one(v: int) -> int:

@@ -46,6 +46,14 @@ def main():
     from zkrollup.msm.msm import msm
     from zkrollup.msm import glv
 
+    if jax.default_backend() not in ("cpu",):
+        # persistent compile cache: the MSM graph takes ~2-3 min to compile
+        # on a fresh process; cached reruns skip it. (Not on CPU: serializing
+        # the big CPU executables segfaults this jaxlib — see tests/conftest.)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/zkrollup/jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
     log(f"devices: {jax.devices()}")
     random.seed(1234)
     n = 1 << LOG_N
@@ -62,11 +70,12 @@ def main():
 
     if use_glv:
         # the production prover path (groth16/prove.py): GLV halves the
-        # window count; host decomposition is counted in the timing
+        # window count; host decomposition + host window combine are
+        # counted in the timing (limb-form scalars, as prove.py passes)
+        sc_limbs = L.ints_to_limbs(scalars)
+
         def run():
-            a, nmask = glv.decompose_batch(scalars)
-            return glv._msm_glv_device(pa, jnp.asarray(a), jnp.asarray(nmask),
-                                       MSM_WINDOW)
+            return glv.msm_glv(pa, sc_limbs, c=MSM_WINDOW)
         variant = f"GLV, window c={MSM_WINDOW}"
     else:
         sc = jnp.asarray(L.ints_to_limbs(scalars))

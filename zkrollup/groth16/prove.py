@@ -132,14 +132,15 @@ def prove(pk: ProvingKey, r1cs, witness: List[int],
     h_plain = _quotient_plain(a_e, b_e, c_e, zinv_mont)  # (m, 16)
 
     # 3: the five multiexponentiations. G1 tables run the GLV path (half
-    # the windows; msm/glv.py) with host-int scalars; G2 stays 256-bit.
-    w_ints = [w % FR_MOD for w in witness]
-    h_ints = L.limbs_to_ints(np.asarray(h_plain)[:m - 1])
-    pi_a_msm = _g1_result(msm_glv(pk.a_g1, w_ints, c=MSM_WINDOW))
-    pi_b1_msm = _g1_result(msm_glv(pk.b1_g1, w_ints, c=MSM_WINDOW))
-    pi_c_msm = _g1_result(msm_glv(pk.c_g1, w_ints[pk.n_public:],
+    # the windows; msm/glv.py) with canonical-limb scalars — no python-int
+    # round trip; G2 stays 256-bit.
+    w_np = np.asarray(w_plain)
+    h_np = np.asarray(h_plain)[:m - 1]
+    pi_a_msm = _g1_result(msm_glv(pk.a_g1, w_np, c=MSM_WINDOW))
+    pi_b1_msm = _g1_result(msm_glv(pk.b1_g1, w_np, c=MSM_WINDOW))
+    pi_c_msm = _g1_result(msm_glv(pk.c_g1, w_np[pk.n_public:],
                                   c=MSM_WINDOW))
-    pi_h_msm = _g1_result(msm_glv(pk.h_g1, h_ints, c=MSM_WINDOW))
+    pi_h_msm = _g1_result(msm_glv(pk.h_g1, h_np, c=MSM_WINDOW))
     (bx0, bx1), (by0, by1), binf = pk.b2_g2
     b2_dev = ((jnp.asarray(bx0), jnp.asarray(bx1)),
               (jnp.asarray(by0), jnp.asarray(by1)), jnp.asarray(binf))

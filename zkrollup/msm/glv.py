@@ -5,20 +5,23 @@ with beta a primitive cube root of unity in Fq acts as multiplication by
 lambda (a cube root of unity mod r) on G1. Every 254-bit scalar k splits as
 k = k1 + k2*lambda with |k1|, |k2| < 2^128 (lattice Babai rounding), so the
 MSM runs over twice the points with HALF the windows — ~2x fewer point adds
-in the Pippenger bucket phase and half the Horner doublings. websnark (the
-reference's multiexp engine, SURVEY §2.4) does not implement GLV; this is
-TPU-budget headroom the redesign banks.
+in the Pippenger bucket phase. websnark (the reference's multiexp engine,
+SURVEY §2.4) does not implement GLV; this is TPU-budget headroom the
+redesign banks.
 
-Decomposition is host-side Python-int arithmetic (4 multiplies per scalar);
-the endomorphism table phi(P) is one Montgomery multiply per point on
-device. Differentially tested against the plain 256-bit MSM
-(tests/test_glv.py).
+Decomposition is host-side (native C++ zkh_glv_decompose, 4 mul128 chains
+per scalar; scalars already in limb form skip the python-int round trip
+entirely). The endomorphism table phi(P) is one Montgomery multiply per
+point on device. The window combine (Horner over ~13 window sums) runs on
+the HOST with python-int Jacobian ops: on device it is ~140 dispatch-bound
+batch-1 kernels (~190ms measured); on host it is ~10^2 int muls (<1ms).
+Differentially tested against the plain 256-bit MSM (tests/test_glv.py).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Sequence, Tuple
+from typing import List, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -26,9 +29,10 @@ import numpy as np
 
 from ..fields import limbs as L
 from ..fields.mont import FQ
+from ..ref import bn254 as ref
 from ..ref.bn254 import R as FR_MOD
 from ..curve import g1_jax
-from .msm import msm
+from .msm import window_sums, _clamp_window
 
 # lambda^2 + lambda + 1 = 0 mod r;  phi(P) = lambda * P with
 # phi(x, y) = (BETA * x, y), beta^2 + beta + 1 = 0 mod q.
@@ -56,14 +60,21 @@ def decompose(k: int) -> Tuple[int, int]:
     return k1, k2
 
 
-def decompose_batch(scalars: Sequence[int]):
+def decompose_batch(scalars: Union[Sequence[int], np.ndarray]):
     """-> (abs_limbs (2n, 16) uint32, neg (2n, 1) bool). First n rows are
-    k1 (for P), last n rows are k2 (for phi(P)). Dispatches to the native
-    C++ engine (zkh_glv_decompose; ~100x the Python loop) when built."""
+    k1 (for P), last n rows are k2 (for phi(P)). Accepts host ints (< r
+    after reduction) or an (n, 16) uint32 limb array of canonical scalars
+    (the fast path: no python-int packing at all). Dispatches to the native
+    C++ engine (zkh_glv_decompose) when built."""
     from ..native import engine
+    if isinstance(scalars, (np.ndarray, jnp.ndarray)):
+        limbs = np.asarray(scalars, dtype=np.uint32)
+        assert limbs.ndim == 2 and limbs.shape[1] == L.N_LIMBS
+        if engine.available():
+            return engine.glv_decompose_limbs(limbs)
+        return decompose_batch_py(L.limbs_to_ints(limbs))
     if engine.available():
-        return engine.glv_decompose_batch(
-            [k % FR_MOD for k in scalars])
+        return engine.glv_decompose_batch([k % FR_MOD for k in scalars])
     return decompose_batch_py(scalars)
 
 
@@ -91,23 +102,46 @@ def _beta_mont():
 
 
 @partial(jax.jit, static_argnames=("c",))
-def _msm_glv_device(points_affine, abs_scalars, neg, c: int):
-    """points (n, ...) packed affine; abs_scalars (2n, 16); neg (2n, 1)."""
+def _glv_window_sums_device(points_affine, abs_scalars, neg, c: int):
+    """points (n, ...) packed affine; abs_scalars (2n, 16); neg (2n, 1).
+    Returns per-window Jacobian sums, leading axis W = ceil(130/c)."""
     x, y, inf = points_affine
-    n = x.shape[0]
     # endomorphism table: phi(P) = (beta * x, y)
     x2 = jnp.concatenate([x, FQ.mont_mul(x, _beta_mont())], axis=0)
     y2 = jnp.concatenate([y, y], axis=0)
     inf2 = jnp.concatenate([inf, inf], axis=0)
     # fold the decomposition signs into the points: -P = (x, -y)
     y2 = L.select(neg, FQ.neg(y2), y2)
-    return msm(g1_jax.G1, (x2, y2, inf2), abs_scalars, c=c,
-               n_bits=GLV_BITS)
+    wsum, _ = window_sums(g1_jax.G1, (x2, y2, inf2), abs_scalars, c=c,
+                          n_bits=GLV_BITS)
+    return wsum
 
 
-def msm_glv(points_affine, scalars: Sequence[int], c: int = 10):
+def combine_window_sums_host(wsum, c: int):
+    """Horner-combine per-window Jacobian sums on the host.
+    wsum: pytree with (W, 16) Montgomery-limb leaves (device or host).
+    Returns a device Jacobian point with (16,) leaves (batch ())."""
+    X = FQ.from_mont_host(np.asarray(wsum[0]))
+    Y = FQ.from_mont_host(np.asarray(wsum[1]))
+    Z = FQ.from_mont_host(np.asarray(wsum[2]))
+    res = (0, 1, 0)
+    for w in range(len(X) - 1, -1, -1):
+        for _ in range(c):
+            res = ref.g1_jac_double(res)
+        res = ref.g1_jac_add(res, (X[w], Y[w], Z[w]))
+    pack = lambda v: jnp.asarray(FQ.to_mont_host([v])[0])
+    return (pack(res[0]), pack(res[1]), pack(res[2]))
+
+
+def msm_glv(points_affine, scalars, c: int = 10):
     """points_affine: packed (x, y, inf) device/host arrays; scalars: host
-    ints. Returns a Jacobian point (the same contract as msm.msm)."""
-    abs_limbs, neg = decompose_batch(list(scalars))
+    ints OR an (n, 16) uint32 canonical limb array. Returns a Jacobian
+    point with (16,) leaves (the same contract as msm.msm)."""
+    if isinstance(scalars, (list, tuple)):
+        scalars = list(scalars)
+    abs_limbs, neg = decompose_batch(scalars)
     pa = tuple(jnp.asarray(a) for a in points_affine)
-    return _msm_glv_device(pa, jnp.asarray(abs_limbs), jnp.asarray(neg), c)
+    c_eff = _clamp_window(c, abs_limbs.shape[0])
+    wsum = _glv_window_sums_device(pa, jnp.asarray(abs_limbs),
+                                   jnp.asarray(neg), c_eff)
+    return combine_window_sums_host(wsum, c_eff)

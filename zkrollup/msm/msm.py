@@ -6,18 +6,22 @@ shaped for XLA rather than a CPU translation:
 
   windows    c-bit digit decomposition of every scalar
   bucketing  there is no efficient data-dependent scatter-ADD of curve
-             points on TPU, so each window SORTS its digits and reduces
-             equal-digit runs with a SEGMENTED Hillis-Steele scan whose
-             step (one masked point-add over the whole window) lives in a
-             fori_loop body — compiled ONCE, executed ceil(log2 n) times
+             points on TPU, so digits are SORTED and equal-digit runs are
+             reduced with a pairwise "run-merge" tree (one point add per
+             node pair per level, total adds = n per window)
   reduction  weighted bucket sum  sum_b b*S_b = sum_{j>=1} T_j with
-             T = reverse cumulative point-sum of buckets — two more
-             log-depth scans with body-once compilation
+             T = reverse cumulative point-sum of buckets — two log-depth
+             Hillis-Steele scans
   combine    Horner over windows: c doublings + 1 add per window
+             (or on the host — 13 tiny point ops — via window_sums)
 
-Windows run under lax.map: one compiled window body, memory bounded to a
-single window's gathered points; each window is a full-width batched
-pipeline so the VPU stays saturated.
+ALL windows are processed as ONE flat problem: one batched row-sort
+(lax.sort over the (W, n) digit matrix), one gather, and one merge tree
+over the flattened (W*n) array whose keys carry the window id in the high
+bits so no run crosses a window boundary. Compared to looping windows
+(lax.map), the tree's tail levels run at width W*2^k instead of 2^k, so
+the VPU stays saturated ~log2(W) levels longer — measured 2x on the
+bucket phase at 2^17 points.
 """
 
 from __future__ import annotations
@@ -51,97 +55,108 @@ def window_digits(scalars: jnp.ndarray, c: int, n_windows: int) -> jnp.ndarray:
     return jnp.sum(digs * weights, axis=-1, dtype=jnp.uint32).T  # (W, n)
 
 
-def _shift_down(arr, d, fill=None):
-    """arr[i - d] with i < d rows replaced by `fill` (or arr[0], unused when
-    masked). d is traced. Leaves shape (n, ...)."""
-    n = arr.shape[0]
-    idx = jnp.maximum(jnp.arange(n, dtype=jnp.int32) - d, 0)
-    return jnp.take(arr, idx, axis=0)
+def _add_2d(curve: JacobianCurve, p, q):
+    """curve.add with leaves flattened to 2D (batch, 16) so big batches hit
+    the fused Pallas kernel regardless of the logical leading shape."""
+    leaves = jax.tree_util.tree_leaves(p)
+    shape = leaves[0].shape
+    if len(shape) == 2:
+        return curve.add(p, q)
+    flat = lambda a: a.reshape(-1, a.shape[-1])
+    out = curve.add(_tree(flat, p), _tree(flat, q))
+    return _tree(lambda a: a.reshape(shape), out)
 
 
-def _segment_scan(curve: JacobianCurve, heads, pts, log_n: int):
-    """Segmented inclusive cumulative point-add over axis 0.
-    heads: (n, 1) uint32, 1 at segment starts. pts: Jacobian pytree with
-    leaves (n, ...). Returns scanned (flags, points)."""
-    n = heads.shape[0]
-    pos = jnp.arange(n, dtype=jnp.int32)[:, None]
-
-    def step(k, carry):
-        f, v = carry
-        d = jnp.int32(1) << k
-        f_sh = _shift_down(f, d)
-        v_sh = _tree(lambda a: _shift_down(a, d), v)
-        combined = curve.add(v_sh, v)
-        # keep v where: position < d (nothing to the left), or own segment
-        # already closed (flag set anywhere in (i-d, i] -> f[i] accumulated)
-        take_own = jnp.logical_or(pos < d, f != 0)
-        v_new = curve.select(take_own, v, combined)
-        f_new = jnp.where(pos < d, f, f | f_sh)
-        return (f_new, v_new)
-
-    return jax.lax.fori_loop(0, log_n, step, (heads, pts))
+def _shift_axis1(arr, d: int):
+    """arr[:, i - d] with i < d columns filled by arr[:, 0] (unused when
+    masked). d static."""
+    if d == 0:
+        return arr
+    head = jnp.repeat(arr[:, :1], d, axis=1)
+    return jnp.concatenate([head, arr[:, :-d]], axis=1)
 
 
-def _cumulative_points(curve, pts, log_n, reverse=False):
-    """Plain (unsegmented) cumulative point-add along axis 0."""
-    leaves = jax.tree_util.tree_leaves(pts)
-    n = leaves[0].shape[0]
+def _cumulative_points_axis1(curve, pts, log_len: int, reverse=False):
+    """Plain cumulative point-add along axis 1 of (W, B, ...) leaves.
+    Hillis-Steele: log_len full-width steps, statically unrolled."""
+    length = jax.tree_util.tree_leaves(pts)[0].shape[1]
     if reverse:
-        pts = _tree(lambda a: jnp.flip(a, axis=0), pts)
-    pos = jnp.arange(n, dtype=jnp.int32)[:, None]
+        pts = _tree(lambda a: jnp.flip(a, axis=1), pts)
+    pos = jnp.arange(length, dtype=jnp.int32)[None, :, None]
 
-    def step(k, v):
-        d = jnp.int32(1) << k
-        v_sh = _tree(lambda a: _shift_down(a, d), v)
-        combined = curve.add(v_sh, v)
-        return curve.select(pos < d, v, combined)
-
-    out = jax.lax.fori_loop(0, log_n, step, pts)
+    for k in range(log_len):
+        d = 1 << k
+        if d >= length:
+            break
+        sh = _tree(lambda a: _shift_axis1(a, d), pts)
+        combined = _add_2d(curve, sh, pts)
+        pts = curve.select(pos < d, pts, combined)
     if reverse:
-        out = _tree(lambda a: jnp.flip(a, axis=0), out)
-    return out
+        pts = _tree(lambda a: jnp.flip(a, axis=1), pts)
+    return pts
 
 
-def _window_bucket_sum(curve: JacobianCurve, digits_row, pts, c: int):
-    """One window: digits (n,), pts leaves (n, ...) -> reduced point.
+def _flat_window_sums(curve: JacobianCurve, digits, xy, inf, c: int):
+    """Bucket-accumulate and reduce ALL windows at once.
 
-    Work-efficient segmented reduce over the SORTED digit runs via a
+    digits: (W, n) uint32, n a power of two; xy: affine coordinate pytree
+    with leaves (n, ...); inf: (n, 1) bool/int mask. Returns the per-window
+    sums sum_b b*S_{w,b} as a Jacobian pytree with leading axis W.
+
+    Work-efficient segmented reduce over the sorted digit runs via a
     pairwise "run-merge" tree: each node tracks its leftmost run
-    (digit ld, sum lv — may extend into earlier nodes), rightmost run
+    (key ld, sum lv — may extend into earlier nodes), rightmost run
     (rd, rv), and whether the node is a single run (`whole`). Merging two
     nodes costs ONE point add (the bridge across the boundary); any run
-    that closes is scattered into the bucket array at that level. Total
-    point-adds = n; graph = log2(n) add instances with halving widths.
+    that closes is scattered into the (W*2^c) bucket array. Total
+    point-adds = W*n; the tree runs log2(n) levels down to W root nodes
+    (window boundaries align with node boundaries by construction), whose
+    leftover runs are banked vectorized.
     """
-    n = digits_row.shape[0]
+    W, n = digits.shape
     assert n & (n - 1) == 0, "msm: pad point count to a power of two"
     log_n = n.bit_length() - 1
     B = 1 << c
+    NB = W * B
 
-    order = jnp.argsort(digits_row)
-    d = jnp.take(digits_row, order)
-    p = _tree(lambda a: jnp.take(a, order, axis=0), pts)
+    # one batched row-sort of the digit matrix; payload = original index
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (W, n))
+    d_sorted, perm = jax.lax.sort((digits, iota), dimension=1, num_keys=1)
+    # key = (window << c) | digit: runs can never span window boundaries
+    keys = (d_sorted
+            + (jnp.arange(W, dtype=jnp.uint32) << c)[:, None]).reshape(-1)
+    idx = perm.reshape(-1)                          # (W*n,) in [0, n)
 
-    def scatter_set(buckets, idx, vals):
+    # gather affine coords only (z is synthesized: 1/3 less gather traffic)
+    p_xy = _tree(lambda a: jnp.take(a, idx, axis=0), xy)
+    inf_f = jnp.take(inf, idx, axis=0)              # (W*n, 1)
+    bshape = curve.F.batch_shape(p_xy[0])
+    one_z = curve.F.one(bshape)
+    zero_z = curve.F.zeros(bshape)
+    z = curve.F.select(inf_f, zero_z, one_z)
+    x, y = p_xy
+    p = (x, y, z)
+
+    def scatter_set(buckets, bidx, vals):
         return _tree(
-            lambda bk, v: bk.at[idx].set(v, mode="drop"), buckets, vals)
+            lambda bk, v: bk.at[bidx].set(v, mode="drop"), buckets, vals)
 
-    buckets = _tree(
-        lambda a: jnp.zeros((B,) + a.shape[1:], a.dtype), p)
+    buckets = _tree(lambda a: jnp.zeros((NB,) + a.shape[1:], a.dtype), p)
+    sentinel = jnp.uint32(NB)
+    dig_mask = jnp.uint32(B - 1)
+
+    def close_idx(mask, key):
+        # digit 0 is never banked (contributes nothing)
+        return jnp.where(mask & ((key & dig_mask) != 0), key, sentinel)
 
     # leaf nodes: every element is a whole single-element run
     lv = rv = p
-    ld = rd = d
-    whole = jnp.ones((n,), bool)
-    sentinel = jnp.uint32(B)
-
-    def close_idx(mask, dig):
-        # digit 0 is never banked (contributes nothing)
-        return jnp.where(mask & (dig != 0), dig, sentinel)
+    ld = rd = keys
+    whole = jnp.ones((W * n,), bool)
 
     for _ in range(log_n):
-        a_lv = _tree(lambda x: x[0::2], lv); b_lv = _tree(lambda x: x[1::2], lv)
-        a_rv = _tree(lambda x: x[0::2], rv); b_rv = _tree(lambda x: x[1::2], rv)
+        a_lv = _tree(lambda t: t[0::2], lv); b_lv = _tree(lambda t: t[1::2], lv)
+        a_rv = _tree(lambda t: t[0::2], rv); b_rv = _tree(lambda t: t[1::2], rv)
         a_ld, b_ld = ld[0::2], ld[1::2]
         a_rd, b_rd = rd[0::2], rd[1::2]
         a_wh, b_wh = whole[0::2], whole[1::2]
@@ -162,35 +177,26 @@ def _window_bucket_sum(curve: JacobianCurve, digits_row, pts, c: int):
         ld, rd = a_ld, b_rd
         whole = a_wh & b_wh & merge
 
-    # root: leftmost run closes; rightmost too unless it IS the leftmost
-    buckets = scatter_set(buckets, close_idx(jnp.ones((1,), bool), ld), lv)
-    buckets = scatter_set(
-        buckets, close_idx(~whole, rd), rv)
+    # W root nodes, one per window: leftmost run closes; rightmost too
+    # unless it IS the leftmost
+    buckets = scatter_set(buckets, close_idx(jnp.ones((W,), bool), ld), lv)
+    buckets = scatter_set(buckets, close_idx(~whole, rd), rv)
 
-    # weighted sum: sum_b b*S_b = sum_{j>=1} T_j, T = reverse cumsum;
-    # HS scans at bucket width: 2 add instances, work O(B log B) — tiny.
-    suffix = _cumulative_points(curve, buckets, c, reverse=True)
-    t = _tree(lambda a: a.at[0].set(jnp.zeros_like(a[0])), suffix)  # drop j=0
-    total = _cumulative_points(curve, t, c, reverse=False)
-    return _tree(lambda a: a[-1], total)
+    # weighted sum per window: sum_b b*S_b = sum_{j>=1} T_j with T the
+    # reverse cumsum; two HS scans over (W, B) — full-width VPU work.
+    bk = _tree(lambda a: a.reshape((W, B) + a.shape[1:]), buckets)
+    suffix = _cumulative_points_axis1(curve, bk, c, reverse=True)
+    t = _tree(lambda a: a.at[:, 0].set(jnp.zeros_like(a[:, 0])), suffix)
+    total = _cumulative_points_axis1(curve, t, c, reverse=False)
+    return _tree(lambda a: a[:, -1], total)       # (W, ...)
 
 
-def msm(curve: JacobianCurve, points_affine, scalars: jnp.ndarray,
-        c: int = 12, n_bits: int = 256):
-    """points_affine: (x, y, inf_mask) pytree, leaves (n, ...); scalars:
-    (n, 16) plain-form limbs, each < 2^n_bits. Returns one Jacobian point
-    (batch ())."""
-    # clamp the window to the problem size: 2^c buckets are useless (and
-    # costly in the bucket-reduction scans) beyond ~n buckets
-    n_sc = scalars.shape[0]
-    c = max(2, min(c, max(n_sc.bit_length() - 1, 2)))
-    n_windows = (n_bits + c - 1) // c
-
+def _pad_problem(points_affine, scalars):
+    """Pad points+scalars to a power of two (scalar 0 / infinity points)."""
     x, y, inf = points_affine
     n = scalars.shape[0]
     n_pad = 1 << max((n - 1).bit_length(), 1)
     if n_pad != n:
-        # pad with scalar 0 (digit 0 -> never banked) and infinity points
         pad = n_pad - n
         scalars = jnp.concatenate(
             [scalars, jnp.zeros((pad, L.N_LIMBS), jnp.uint32)], axis=0)
@@ -198,16 +204,34 @@ def msm(curve: JacobianCurve, points_affine, scalars: jnp.ndarray,
             lambda a: jnp.concatenate(
                 [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0), (x, y))
         inf = jnp.concatenate([inf, jnp.ones((pad, 1), inf.dtype)], axis=0)
+    return (x, y, inf), scalars
 
+
+def _clamp_window(c: int, n_sc: int) -> int:
+    # clamp the window to the problem size: 2^c buckets are useless (and
+    # costly in the bucket-reduction scans) beyond ~n buckets
+    return max(2, min(c, max(n_sc.bit_length() - 1, 2)))
+
+
+def window_sums(curve: JacobianCurve, points_affine, scalars: jnp.ndarray,
+                c: int = 12, n_bits: int = 256):
+    """points_affine: (x, y, inf_mask) pytree, leaves (n, ...); scalars:
+    (n, 16) plain-form limbs, each < 2^n_bits. Returns (wsum, c) where wsum
+    is a Jacobian pytree with leading axis W = ceil(n_bits/c): the
+    per-window bucket-weighted sums. Callers combine them with Horner —
+    on device (msm) or on the host (msm/glv.py; W tiny point ops)."""
+    c = _clamp_window(c, scalars.shape[0])
+    n_windows = (n_bits + c - 1) // c
+    (x, y, inf), scalars = _pad_problem(points_affine, scalars)
     digits = window_digits(scalars, c, n_windows)  # (W, n_pad)
+    return _flat_window_sums(curve, digits, (x, y), inf, c), c
 
-    one_z = curve.F.one(curve.F.batch_shape(x))
-    zero_z = curve.F.zeros(curve.F.batch_shape(x))
-    z = curve.F.select(inf, zero_z, one_z)
-    pts = (x, y, z)
 
-    wsum = jax.lax.map(
-        lambda dg: _window_bucket_sum(curve, dg, pts, c), digits)
+def msm(curve: JacobianCurve, points_affine, scalars: jnp.ndarray,
+        c: int = 12, n_bits: int = 256):
+    """Full MSM on device. Returns one Jacobian point (batch ())."""
+    wsum, c = window_sums(curve, points_affine, scalars, c, n_bits)
+    n_windows = jax.tree_util.tree_leaves(wsum)[0].shape[0]
 
     # Horner over windows, high to low: res = 2^c * res + W_w
     def horner(i, res):

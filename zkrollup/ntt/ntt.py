@@ -81,13 +81,27 @@ def ntt_mont(a: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     x = jnp.take(a, perm, axis=0)
     tables = _stage_twiddles(log_n, inverse)
 
+    from ..fields import pallas_mont
+    fuse = pallas_mont.butterfly_should_use(n // 2)
     for s in range(log_n):
         m = 1 << s
         tw = jnp.asarray(tables[s])                     # (m, 16)
         grp = x.reshape(n // (2 * m), 2, m, L.N_LIMBS)
-        u = grp[:, 0]                                   # (n/2m, m, 16)
-        v = FR.mont_mul(grp[:, 1], tw[None, :, :])
-        x = jnp.stack([FR.add(u, v), FR.sub(u, v)], axis=1).reshape(n, L.N_LIMBS)
+        u = grp[:, 0].reshape(n // 2, L.N_LIMBS)
+        b = grp[:, 1].reshape(n // 2, L.N_LIMBS)
+        twf = jnp.broadcast_to(
+            tw[None], (n // (2 * m), m, L.N_LIMBS)).reshape(n // 2,
+                                                            L.N_LIMBS)
+        if fuse:
+            # one fused VMEM kernel: v = b*tw; (u+v, u-v)
+            hi, lo = pallas_mont.butterfly(FR, u, b, twf)
+        else:
+            v = FR.mont_mul(b, twf)
+            hi, lo = FR.add(u, v), FR.sub(u, v)
+        x = jnp.stack(
+            [hi.reshape(n // (2 * m), m, L.N_LIMBS),
+             lo.reshape(n // (2 * m), m, L.N_LIMBS)],
+            axis=1).reshape(n, L.N_LIMBS)
 
     if inverse:
         n_inv = pow(n, FR.p - 2, FR.p)

@@ -278,6 +278,64 @@ def g1_msm(points, scalars):
     return acc
 
 
+# Jacobian host ops (X, Y, Z) python-int triples, Z == 0 = infinity.
+# Inversion-free: used to combine the TPU MSM's per-window sums on the host
+# (msm/glv.py) where the device Horner would be ~10^2 dispatch-bound tiny
+# kernels; ~10^2 python-int muls instead.
+
+def g1_jac_double(p):
+    X, Y, Z = p
+    if Z == 0 or Y == 0:
+        return (0, 1, 0)
+    A = X * X % Q
+    Bv = Y * Y % Q
+    C = Bv * Bv % Q
+    D = 2 * ((X + Bv) * (X + Bv) - A - C) % Q
+    E = 3 * A % Q
+    F = E * E % Q
+    X3 = (F - 2 * D) % Q
+    Y3 = (E * (D - X3) - 8 * C) % Q
+    Z3 = 2 * Y * Z % Q
+    return (X3, Y3, Z3)
+
+
+def g1_jac_add(p, q):
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    if Z1 == 0:
+        return q
+    if Z2 == 0:
+        return p
+    Z1Z1 = Z1 * Z1 % Q
+    Z2Z2 = Z2 * Z2 % Q
+    U1 = X1 * Z2Z2 % Q
+    U2 = X2 * Z1Z1 % Q
+    S1 = Y1 * Z2 * Z2Z2 % Q
+    S2 = Y2 * Z1 * Z1Z1 % Q
+    H = (U2 - U1) % Q
+    Rr = (S2 - S1) % Q
+    if H == 0:
+        if Rr == 0:
+            return g1_jac_double(p)
+        return (0, 1, 0)
+    HH = H * H % Q
+    HHH = H * HH % Q
+    V = U1 * HH % Q
+    X3 = (Rr * Rr - HHH - 2 * V) % Q
+    Y3 = (Rr * (V - X3) - S1 * HHH) % Q
+    Z3 = Z1 * Z2 * H % Q
+    return (X3, Y3, Z3)
+
+
+def g1_jac_to_affine(p):
+    X, Y, Z = p
+    if Z == 0:
+        return None
+    zi = inv_mod(Z, Q)
+    zi2 = zi * zi % Q
+    return (X * zi2 % Q, Y * zi2 * zi % Q)
+
+
 # ---------------------------------------------------------------------------
 # G2: points over Fq2 on y^2 = x^3 + 3/xi.  None = infinity.
 # ---------------------------------------------------------------------------

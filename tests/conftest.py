@@ -22,6 +22,11 @@ if "xla_backend_optimization_level" not in flags:
     flags += " --xla_backend_optimization_level=1"
 os.environ["XLA_FLAGS"] = flags.strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Small Pippenger window for the prover paths: compile time scales with the
+# window (the bucket-reduction scan unrolls ~3c point-add bodies) and CPU
+# test circuits are tiny, so c=4 keeps prove() compiles fast; results are
+# window-independent (differentially asserted in tests/test_glv.py).
+os.environ.setdefault("ZKROLLUP_MSM_WINDOW", "4")
 
 import jax  # noqa: E402
 

@@ -144,6 +144,25 @@ class TestMSM:
             jax.tree_util.tree_map(lambda a: a[None], res))[0]
         assert got == ref.g1_msm(pts, sc)
 
+    def test_g1_msm_both_tree_modes_agree(self, monkeypatch):
+        """The affine (batched-inversion) and Jacobian (fused-kernel)
+        merge trees are interchangeable strategies; assert both against
+        the host ground truth on a collision-heavy input."""
+        from zkrollup.msm import msm as msm_mod
+        sc = [5] * 6 + [0, 1, ref.R - 1] + [11] * 7
+        pts = [ref.g1_mul(ref.G1_GEN, i + 2) for i in range(len(sc) - 1)]
+        pts += [None]
+        x, y, inf = g1_jax.pack_affine_host(pts)
+        pa = (jnp.asarray(x), jnp.asarray(y), jnp.asarray(inf))
+        scl = jnp.asarray(L.ints_to_limbs(sc))
+        want = ref.g1_msm(pts[:-1], sc[:-1])
+        for mode in ("affine", "jacobian"):
+            monkeypatch.setattr(msm_mod, "_TREE_MODE", mode)
+            res = jax.jit(partial(msm, g1_jax.G1, c=3))(pa, scl)
+            got = g1_jax.to_affine_host(
+                jax.tree_util.tree_map(lambda a: a[None], res))[0]
+            assert got == want, f"tree mode {mode} mismatch"
+
     def test_g2_msm_small(self):
         n = 8
         sc = [random.randrange(ref.R) for _ in range(n)]

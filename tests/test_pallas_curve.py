@@ -73,6 +73,56 @@ class TestFusedAdd:
         assert _unpack(pallas_curve.g1_add(inf, inf)) == [None] * N
 
 
+class TestFusedAddZ01:
+    """Specialized leaf-level add: both inputs affine-or-infinity."""
+
+    def test_matches_host_ints(self):
+        pa, qa = _points(N, seed=11), _points(N, seed=12)
+        got = _unpack(pallas_curve.g1_add_z01(_jac(pa), _jac(qa)))
+        want = [ref.g1_add(a, b) for a, b in zip(pa, qa)]
+        assert got == want
+
+    def test_matches_generic_z01(self):
+        p = _jac(_points(N, seed=13))
+        q = _jac(_points(N, seed=14))
+        got = _unpack(pallas_curve.g1_add_z01(p, q))
+        want = _unpack(G1._add_z01_generic(p, q))
+        assert got == want
+
+    def test_double_path(self):
+        pa = _points(N, seed=15, with_inf=False)
+        p = _jac(pa)
+        got = _unpack(pallas_curve.g1_add_z01(p, p))
+        assert got == [ref.g1_double(a) for a in pa]
+
+    def test_inverse_gives_infinity(self):
+        pa = _points(N, seed=16, with_inf=False)
+        na = [ref.g1_neg(a) for a in pa]
+        got = _unpack(pallas_curve.g1_add_z01(_jac(pa), _jac(na)))
+        assert got == [None] * N
+
+    def test_identity_cases(self):
+        pa = _points(N, seed=17, with_inf=False)
+        inf = _jac([None] * N)
+        assert _unpack(pallas_curve.g1_add_z01(_jac(pa), inf)) == pa
+        assert _unpack(pallas_curve.g1_add_z01(inf, _jac(pa))) == pa
+        assert _unpack(pallas_curve.g1_add_z01(inf, inf)) == [None] * N
+
+    def test_generic_z01_matches_generic_add_g2(self):
+        """The generic z01 path must also hold for G2 (Fq2 leaves)."""
+        from zkrollup.curve import g2_jax
+        from zkrollup.curve.g2_jax import G2
+        rng = np.random.RandomState(18)
+        pts = [ref.g2_mul(ref.G2_GEN, int(k))
+               for k in rng.randint(1, 1 << 20, size=4)] + [None]
+        qts = [ref.g2_mul(ref.G2_GEN, int(k))
+               for k in rng.randint(1, 1 << 20, size=4)] + [None]
+        p, q = g2_jax.pack_jacobian_host(pts), g2_jax.pack_jacobian_host(qts)
+        got = g2_jax.to_affine_host(G2._add_z01_generic(p, q))
+        want = g2_jax.to_affine_host(G2.add(p, q))
+        assert got == want
+
+
 class TestFusedDouble:
     def test_double_matches_host(self):
         pa = _points(N, seed=8, with_inf=False)

@@ -212,6 +212,66 @@ def _add_kernel(n_ref, x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, z2_ref,
     z3_ref[:] = Z3
 
 
+def _add_z01_kernel(n_ref, x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, z2_ref,
+                    x3_ref, y3_ref, z3_ref):
+    """Unified add for inputs with Z in {0, 1} exactly (the MSM merge
+    tree's leaf level): 4M+2S add + 1M+5S double vs the generic kernel's
+    12M+4S + 2M+5S — ~1.9x fewer limb multiplies on half the tree's adds."""
+    n = n_ref[:]
+    X1, Y1, Z1 = x1_ref[:], y1_ref[:], z1_ref[:]
+    X2, Y2, Z2 = x2_ref[:], y2_ref[:], z2_ref[:]
+
+    # add path (Z1 = Z2 = 1): U1=X1, U2=X2, S1=Y1, S2=Y2
+    H = _k_sub(n, X2, X1)
+    R = _k_sub(n, Y2, Y1)
+    HH = _k_sqr(n, H)
+    HHH = _k_mont_mul(n, H, HH)
+    V = _k_mont_mul(n, X1, HH)
+    X3 = _k_sub(n, _k_sub(n, _k_sqr(n, R), HHH), _k_dbl(n, V))
+    Y3 = _k_sub(n, _k_mont_mul(n, R, _k_sub(n, V, X3)),
+                _k_mont_mul(n, Y1, HHH))
+    Z3 = H
+
+    # affine double path (mdbl, Z = 1): Z3 = 2Y
+    A = _k_sqr(n, X1)
+    B = _k_sqr(n, Y1)
+    C = _k_sqr(n, B)
+    t = _k_sqr(n, _k_add(n, X1, B))
+    D = _k_dbl(n, _k_sub(n, _k_sub(n, t, A), C))
+    E = _k_add(n, _k_dbl(n, A), A)
+    F2 = _k_sqr(n, E)
+    dX = _k_sub(n, F2, _k_dbl(n, D))
+    C8 = _k_dbl(n, _k_dbl(n, _k_dbl(n, C)))
+    dY = _k_sub(n, _k_mont_mul(n, E, _k_sub(n, D, dX)), C8)
+    dZ = _k_dbl(n, Y1)
+
+    h_zero = _k_is_zero(H)
+    r_zero = _k_is_zero(R)
+    p_inf = _k_is_zero(Z1)
+    q_inf = _k_is_zero(Z2)
+
+    same = jnp.logical_and(h_zero, r_zero)
+    X3 = _k_select(same, dX, X3)
+    Y3 = _k_select(same, dY, Y3)
+    Z3 = _k_select(same, dZ, Z3)
+
+    to_inf = jnp.logical_and(
+        jnp.logical_and(h_zero, jnp.logical_not(r_zero)),
+        jnp.logical_and(jnp.logical_not(p_inf), jnp.logical_not(q_inf)))
+    Z3 = _k_select(to_inf, jnp.zeros_like(Z3), Z3)
+
+    X3 = _k_select(p_inf, X2, X3)
+    Y3 = _k_select(p_inf, Y2, Y3)
+    Z3 = _k_select(p_inf, Z2, Z3)
+    X3 = _k_select(q_inf, X1, X3)
+    Y3 = _k_select(q_inf, Y1, Y3)
+    Z3 = _k_select(q_inf, Z1, Z3)
+
+    x3_ref[:] = X3
+    y3_ref[:] = Y3
+    z3_ref[:] = Z3
+
+
 def _double_kernel(n_ref, x_ref, y_ref, z_ref, x3_ref, y3_ref, z3_ref):
     X3, Y3, Z3 = _k_double_point(n_ref[:], x_ref[:], y_ref[:], z_ref[:])
     # doubling infinity keeps Z = 0 automatically (Z3 = 2Y*Z = 0); the
@@ -255,6 +315,12 @@ def _pallas_pointwise(kernel, n_out: int, *coords):
 def g1_add(p, q):
     """Fused unified Jacobian add: p, q = (X, Y, Z) with (n, 16) leaves."""
     return _pallas_pointwise(_add_kernel, 3, *p, *q)
+
+
+@jax.jit
+def g1_add_z01(p, q):
+    """Fused add for Z in {0, 1} inputs (MSM leaf level)."""
+    return _pallas_pointwise(_add_z01_kernel, 3, *p, *q)
 
 
 @jax.jit

@@ -19,7 +19,7 @@ controller.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import numpy as np
@@ -53,14 +53,47 @@ def init_distributed(coordinator: Optional[str] = None,
 
 
 # -- distributed MSM --------------------------------------------------------
+#
+# The shard_map-wrapped programs are built by lru_cached factories keyed on
+# (mesh, window, ...): repeated calls with the same mesh/params reuse ONE
+# jitted function, so XLA's shape-keyed executable cache kicks in. Without
+# this, every call builds a fresh closure and re-traces + re-compiles the
+# whole program — the Groth16 prover issues the same G1 MSM program for the
+# A/C/h tables, and compile dominates wall-clock on small runs (the driver
+# dryrun timed out on exactly this in round 2).
 
-def sharded_msm_g1(mesh: Mesh, points_affine, scalars, c: int = 10):
-    """points_affine: (x, y, inf) host/device arrays (n, ...); scalars
-    (n, 16). n must divide evenly by mesh size. Returns a single Jacobian
-    point. Data-parallel over points; one all_gather of D partials."""
+
+@lru_cache(maxsize=None)
+def _fold_fn(curve_kind: str):
+    """Jitted log-depth fold of the D gathered Jacobian partials. One
+    compiled program instead of dozens of per-op eager compiles (the fold
+    is tiny at runtime but eager field ops each pay a first-call compile)."""
+    curve = g1_jax.G1 if curve_kind == "g1" else g2_jax.G2
+
+    @jax.jit
+    def fold(p):
+        n = jax.tree_util.tree_leaves(p)[0].shape[0]
+        while n > 1:
+            half = n // 2
+            lo = jax.tree_util.tree_map(lambda a: a[:half], p)
+            hi = jax.tree_util.tree_map(lambda a: a[half:n], p)
+            p = curve.add(lo, hi)
+            n = half
+        return jax.tree_util.tree_map(lambda a: a[0], p)
+
+    return fold
+
+
+def _fold_parts(curve, p):
+    return _fold_fn("g1" if curve is g1_jax.G1 else "g2")(p)
+
+
+@lru_cache(maxsize=None)
+def _msm_g1_local(mesh: Mesh, c: int):
     axis = mesh.axis_names[0]
     curve = g1_jax.G1
 
+    @jax.jit
     @partial(shard_map, mesh=mesh, check_rep=False,
              in_specs=((P(axis), P(axis), P(axis)), P(axis)),
              out_specs=P(axis))
@@ -68,49 +101,39 @@ def sharded_msm_g1(mesh: Mesh, points_affine, scalars, c: int = 10):
         part = msm(curve, pa, sc, c=c)            # local shard's MSM
         return jax.tree_util.tree_map(lambda a: a[None], part)
 
-    parts = local_part(points_affine, scalars)    # leaves (D, 16)
-
-    # log-depth fold of the D partials (single-device work, trivial size)
-    def fold(p):
-        n = jax.tree_util.tree_leaves(p)[0].shape[0]
-        while n > 1:
-            half = n // 2
-            lo = jax.tree_util.tree_map(lambda a: a[:half], p)
-            hi = jax.tree_util.tree_map(lambda a: a[half:n], p)
-            p = curve.add(lo, hi)
-            n = half
-        return jax.tree_util.tree_map(lambda a: a[0], p)
-
-    return fold(parts)
+    return local_part
 
 
-def sharded_msm_g2(mesh: Mesh, points_affine, scalars, c: int = 10):
-    """G2 variant of sharded_msm_g1: points ((x0,x1),(y0,y1),inf) with
-    leaves (n, 16)/(n, 1), sharded over the mesh axis; one all_gather of D
-    Jacobian partials + log-depth fold."""
+def sharded_msm_g1(mesh: Mesh, points_affine, scalars, c: int = 10):
+    """points_affine: (x, y, inf) host/device arrays (n, ...); scalars
+    (n, 16). n must divide evenly by mesh size. Returns a single Jacobian
+    point. Data-parallel over points; one all_gather of D partials."""
+    parts = _msm_g1_local(mesh, c)(points_affine, scalars)  # leaves (D, 16)
+    return _fold_parts(g1_jax.G1, parts)
+
+
+@lru_cache(maxsize=None)
+def _msm_g2_local(mesh: Mesh, c: int):
     axis = mesh.axis_names[0]
     curve = g2_jax.G2
     pt_spec = ((P(axis), P(axis)), (P(axis), P(axis)), P(axis))
 
+    @jax.jit
     @partial(shard_map, mesh=mesh, check_rep=False,
              in_specs=(pt_spec, P(axis)), out_specs=P(axis))
     def local_part(pa, sc):
         part = msm(curve, pa, sc, c=c)
         return jax.tree_util.tree_map(lambda a: a[None], part)
 
-    parts = local_part(points_affine, scalars)
+    return local_part
 
-    def fold(p):
-        n = jax.tree_util.tree_leaves(p)[0].shape[0]
-        while n > 1:
-            half = n // 2
-            lo = jax.tree_util.tree_map(lambda a: a[:half], p)
-            hi = jax.tree_util.tree_map(lambda a: a[half:n], p)
-            p = curve.add(lo, hi)
-            n = half
-        return jax.tree_util.tree_map(lambda a: a[0], p)
 
-    return fold(parts)
+def sharded_msm_g2(mesh: Mesh, points_affine, scalars, c: int = 10):
+    """G2 variant of sharded_msm_g1: points ((x0,x1),(y0,y1),inf) with
+    leaves (n, 16)/(n, 1), sharded over the mesh axis; one all_gather of D
+    Jacobian partials + log-depth fold."""
+    parts = _msm_g2_local(mesh, c)(points_affine, scalars)
+    return _fold_parts(g2_jax.G2, parts)
 
 
 # -- distributed NTT (four-step) --------------------------------------------
@@ -143,24 +166,18 @@ def _dft_matrix(d: int, inverse: bool) -> np.ndarray:
     return FR.to_mont_host(vals).reshape(d, d, L.N_LIMBS)
 
 
-def sharded_ntt(mesh: Mesh, x_cyclic: jnp.ndarray, log_n: int,
-                inverse: bool = False) -> jnp.ndarray:
-    """Distributed NTT over n = 2^log_n Montgomery-form elements.
-
-    Input layout: x_cyclic is (D, L, 16) where row j1 holds the cyclic
-    residue class x[j1 + D*j2] (j2 = 0..L-1). Output: (D, L, 16) where row
-    k1 holds the contiguous block X[k1*L + k2] — i.e. cyclic in, blocked
-    out (the standard four-step layout exchange).
-    """
+@lru_cache(maxsize=None)
+def _sharded_ntt_fn(mesh: Mesh, log_n: int, inverse: bool):
+    """Cached jitted four-step NTT program for (mesh, log_n, inverse)."""
     axis = mesh.axis_names[0]
     d = mesh.devices.size
     n = 1 << log_n
     l = n // d
-    log_l = l.bit_length() - 1
     tw = jnp.asarray(_four_step_twiddles(log_n, d, inverse))
     dft = jnp.asarray(_dft_matrix(d, inverse))
     n_inv_mont = jnp.asarray(FR.to_mont_host([pow(n, FR.p - 2, FR.p)]))[0]
 
+    @jax.jit
     @partial(shard_map, mesh=mesh, check_rep=False, in_specs=(P(axis), P(axis)),
              out_specs=P(axis))
     def run(chunk, tw_row):
@@ -187,7 +204,19 @@ def sharded_ntt(mesh: Mesh, x_cyclic: jnp.ndarray, log_n: int,
             out = FR.mont_mul(out, n_inv_mont)
         return out[None]
 
-    return run(x_cyclic, tw)
+    return lambda x_cyclic: run(x_cyclic, tw)
+
+
+def sharded_ntt(mesh: Mesh, x_cyclic: jnp.ndarray, log_n: int,
+                inverse: bool = False) -> jnp.ndarray:
+    """Distributed NTT over n = 2^log_n Montgomery-form elements.
+
+    Input layout: x_cyclic is (D, L, 16) where row j1 holds the cyclic
+    residue class x[j1 + D*j2] (j2 = 0..L-1). Output: (D, L, 16) where row
+    k1 holds the contiguous block X[k1*L + k2] — i.e. cyclic in, blocked
+    out (the standard four-step layout exchange).
+    """
+    return _sharded_ntt_fn(mesh, log_n, bool(inverse))(x_cyclic)
 
 
 def cyclic_shard(x: jnp.ndarray, d: int) -> jnp.ndarray:
@@ -208,26 +237,19 @@ def block_shard(x: jnp.ndarray, d: int) -> jnp.ndarray:
     return x.reshape(d, n // d, L.N_LIMBS)
 
 
-def blocked_to_cyclic(mesh: Mesh, x_blocked: jnp.ndarray) -> jnp.ndarray:
-    """Relayout (D, L, 16) contiguous blocks -> (D, L, 16) cyclic residue
-    rows with ONE tiled all_to_all — the sequence-parallel index exchange
-    (SURVEY §2.5 SP row: Ulysses-style shuffle, not ring).
-
-    Device k1 holds X[k1*L + k2]; device r must end with X[r + D*j].
-    k1's elements for r are k2 = ((r - k1*L) mod D) + D*t, t = 0..L/D-1,
-    and they land contiguously at cyclic slots t + base where
-    base = (k1*L + ((r - k1*L) mod D) - r) / D.
-    """
+@lru_cache(maxsize=None)
+def _blocked_to_cyclic_fn(mesh: Mesh):
     axis = mesh.axis_names[0]
     d = mesh.devices.size
-    l = x_blocked.shape[1]
-    assert l % d == 0, "L must divide by device count"
-    t_cnt = l // d
 
+    @jax.jit
     @partial(shard_map, mesh=mesh, check_rep=False, in_specs=P(axis),
              out_specs=P(axis))
     def run(chunk):
         row = chunk[0]                                # (L, 16)
+        l = row.shape[0]
+        assert l % d == 0, "L must divide by device count"
+        t_cnt = l // d
         k1 = jax.lax.axis_index(axis)
         r_ids = jnp.arange(d, dtype=jnp.int32)
         # send-side gather: S[r, t] = row[((r - k1*L) mod D) + D*t]
@@ -249,7 +271,20 @@ def blocked_to_cyclic(mesh: Mesh, x_blocked: jnp.ndarray) -> jnp.ndarray:
         out = out.at[out_idx].set(recv.reshape(-1, L.N_LIMBS))
         return out[None]
 
-    return run(x_blocked)
+    return run
+
+
+def blocked_to_cyclic(mesh: Mesh, x_blocked: jnp.ndarray) -> jnp.ndarray:
+    """Relayout (D, L, 16) contiguous blocks -> (D, L, 16) cyclic residue
+    rows with ONE tiled all_to_all — the sequence-parallel index exchange
+    (SURVEY §2.5 SP row: Ulysses-style shuffle, not ring).
+
+    Device k1 holds X[k1*L + k2]; device r must end with X[r + D*j].
+    k1's elements for r are k2 = ((r - k1*L) mod D) + D*t, t = 0..L/D-1,
+    and they land contiguously at cyclic slots t + base where
+    base = (k1*L + ((r - k1*L) mod D) - r) / D.
+    """
+    return _blocked_to_cyclic_fn(mesh)(x_blocked)
 
 
 # -- fully distributed quotient + proof-point pipeline ------------------------

@@ -17,6 +17,7 @@ proof bytes (the distributed-prover determinism gate, SURVEY §5).
 
 from __future__ import annotations
 
+import os
 import secrets
 from functools import partial
 from typing import List, Optional
@@ -36,7 +37,11 @@ from ..ref.bn254 import R as FR_MOD
 from .keys import ProvingKey, Proof
 from .qap import to_coo
 
-MSM_WINDOW = 10
+# Pippenger window. 10 is the TPU sweet spot at production sizes; the env
+# override exists because compile time scales with the window (the bucket
+# scan unrolls ~3c add bodies) — tests/conftest.py sets a small window so
+# CPU test compiles stay fast. Results are identical for any window.
+MSM_WINDOW = int(os.environ.get("ZKROLLUP_MSM_WINDOW", "10"))
 
 
 # -- sparse matrix-vector product over the domain -----------------------------

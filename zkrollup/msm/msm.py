@@ -8,10 +8,14 @@ shaped for XLA rather than a CPU translation:
   bucketing  there is no efficient data-dependent scatter-ADD of curve
              points on TPU, so digits are SORTED and equal-digit runs are
              reduced with a pairwise "run-merge" tree (one point add per
-             node pair per level, total adds = n per window)
-  reduction  weighted bucket sum  sum_b b*S_b = sum_{j>=1} T_j with
-             T = reverse cumulative point-sum of buckets — two log-depth
-             Hillis-Steele scans
+             node pair per level, total adds = n per window); the tree
+             runs entirely in AFFINE coordinates — every level's adds
+             share one batched inversion (weierstrass.batch_inverse, a
+             work-efficient product tree), so a unified add costs ~6-7
+             field muls instead of ~23 for the branch-free Jacobian add
+  reduction  weighted bucket sum  sum_b b*S_b = reduce_j(exclusive suffix
+             scan of buckets) — one work-efficient Blelloch scan + one
+             pairwise reduction, ~3B Jacobian adds per window
   combine    Horner over windows: c doublings + 1 add per window
              (or on the host — 13 tiny point ops — via window_sums)
 
@@ -26,6 +30,7 @@ bucket phase at 2^17 points.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -33,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fields import limbs as L
-from ..curve.weierstrass import JacobianCurve
+from ..curve.weierstrass import JacobianCurve, affine_add_batch
 
 
 def _tree(fn, *pts):
@@ -67,33 +72,50 @@ def _add_2d(curve: JacobianCurve, p, q):
     return _tree(lambda a: a.reshape(shape), out)
 
 
-def _shift_axis1(arr, d: int):
-    """arr[:, i - d] with i < d columns filled by arr[:, 0] (unused when
-    masked). d static."""
-    if d == 0:
-        return arr
-    head = jnp.repeat(arr[:, :1], d, axis=1)
-    return jnp.concatenate([head, arr[:, :-d]], axis=1)
+def _interleave_axis1(a, b):
+    return _tree(
+        lambda l, r: jnp.stack([l, r], axis=2).reshape(
+            l.shape[:1] + (l.shape[1] * 2,) + l.shape[2:]), a, b)
 
 
-def _cumulative_points_axis1(curve, pts, log_len: int, reverse=False):
-    """Plain cumulative point-add along axis 1 of (W, B, ...) leaves.
-    Hillis-Steele: log_len full-width steps, statically unrolled."""
-    length = jax.tree_util.tree_leaves(pts)[0].shape[1]
-    if reverse:
-        pts = _tree(lambda a: jnp.flip(a, axis=1), pts)
-    pos = jnp.arange(length, dtype=jnp.int32)[None, :, None]
+def _excl_prefix_scan_axis1(curve, pts):
+    """Work-efficient (Blelloch) EXCLUSIVE prefix point-sum along axis 1 of
+    (W, B, ...) leaves: 2(B-1) adds per window vs B*log B for Hillis-Steele.
+    Point addition is abelian, so the up/down-sweep restructuring is valid."""
+    levels = []
+    cur = pts
+    while jax.tree_util.tree_leaves(cur)[0].shape[1] > 1:
+        levels.append(cur)
+        cur = _add_2d(curve,
+                      _tree(lambda a: a[:, 0::2], cur),
+                      _tree(lambda a: a[:, 1::2], cur))
+    w = jax.tree_util.tree_leaves(cur)[0].shape[0]
+    excl = curve.infinity((w, 1))
+    for lvl in reversed(levels):
+        left = _tree(lambda a: a[:, 0::2], lvl)
+        excl_r = _add_2d(curve, excl, left)
+        excl = _interleave_axis1(excl, excl_r)
+    return excl
 
-    for k in range(log_len):
-        d = 1 << k
-        if d >= length:
-            break
-        sh = _tree(lambda a: _shift_axis1(a, d), pts)
-        combined = _add_2d(curve, sh, pts)
-        pts = curve.select(pos < d, pts, combined)
-    if reverse:
-        pts = _tree(lambda a: jnp.flip(a, axis=1), pts)
-    return pts
+
+def _reduce_axis1(curve, pts):
+    """Pairwise log-depth point-sum along axis 1 -> leaves (W, ...)."""
+    cur = pts
+    while jax.tree_util.tree_leaves(cur)[0].shape[1] > 1:
+        cur = _add_2d(curve,
+                      _tree(lambda a: a[:, 0::2], cur),
+                      _tree(lambda a: a[:, 1::2], cur))
+    return _tree(lambda a: a[:, 0], cur)
+
+
+# Merge-tree strategy:
+#   "affine"    all-affine nodes, one shared batched inversion per level
+#               (~6-7 field muls per add) computed with generic field ops
+#   "jacobian"  branch-free Jacobian adds through the fused Pallas kernels
+#               (more muls, but the whole add runs VMEM-resident — wins
+#               when per-op dispatch/HBM dominates, i.e. current TPU path)
+# Differentially equal; benchmarked per backend.
+_TREE_MODE = os.environ.get("ZKROLLUP_MSM_TREE", "jacobian")
 
 
 def _flat_window_sums(curve: JacobianCurve, digits, xy, inf, c: int):
@@ -118,6 +140,7 @@ def _flat_window_sums(curve: JacobianCurve, digits, xy, inf, c: int):
     log_n = n.bit_length() - 1
     B = 1 << c
     NB = W * B
+    F = curve.F
 
     # one batched row-sort of the digit matrix; payload = original index
     iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (W, n))
@@ -127,13 +150,118 @@ def _flat_window_sums(curve: JacobianCurve, digits, xy, inf, c: int):
             + (jnp.arange(W, dtype=jnp.uint32) << c)[:, None]).reshape(-1)
     idx = perm.reshape(-1)                          # (W*n,) in [0, n)
 
+    sentinel = jnp.uint32(NB)
+    dig_mask = jnp.uint32(B - 1)
+
+    def close_idx(mask, key):
+        # digit 0 is never banked (contributes nothing)
+        return jnp.where(mask & ((key & dig_mask) != 0), key, sentinel)
+
+    if _TREE_MODE == "affine":
+        bk = _run_merge_tree_affine(curve, xy, inf, keys, idx,
+                                    W, n, log_n, B, NB, close_idx)
+    else:
+        bk = _run_merge_tree_jacobian(curve, xy, inf, keys, idx,
+                                      W, n, log_n, B, NB, close_idx)
+
+    # weighted sum per window: sum_b b*S_b = sum_j (sum_{b>j} S_b), i.e.
+    # the plain reduction of the EXCLUSIVE suffix scan — one Blelloch scan
+    # + one pairwise reduction, ~3B adds vs 2cB for two Hillis-Steele scans.
+    flipped = _tree(lambda a: jnp.flip(a, axis=1), bk)
+    excl_suffix = _excl_prefix_scan_axis1(curve, flipped)
+    return _reduce_axis1(curve, excl_suffix)      # (W, ...)
+
+
+def _run_merge_tree_affine(curve, xy, inf, keys, idx, W, n, log_n, B, NB,
+                           close_idx):
+    """Run-merge tree in AFFINE coordinates: every level's bridge adds
+    share one batched inversion (weierstrass.affine_add_batch, ~6-7 field
+    muls per add). Fewest muls; many small ops. Returns (W, B) Jacobian
+    bucket pytree."""
+    F = curve.F
+    x, y = _tree(lambda a: jnp.take(a, idx, axis=0), xy)
+    inf_f = jnp.take(inf, idx, axis=0) != 0         # (W*n, 1) bool
+    p = (x, y, inf_f)
+
+    def sel3(cond, a, b):
+        return (F.select(cond, a[0], b[0]), F.select(cond, a[1], b[1]),
+                jnp.where(cond, a[2], b[2]))
+
+    def slice3(t, sl):
+        return (_tree(lambda a: a[sl], t[0]), _tree(lambda a: a[sl], t[1]),
+                t[2][sl])
+
+    # affine bucket accumulators: coordinates + infinity flags (init inf)
+    zero_like = lambda a: jnp.zeros((NB,) + a.shape[1:], a.dtype)
+    bx = _tree(zero_like, x)
+    by = _tree(zero_like, y)
+    binf = jnp.ones((NB, 1), bool)
+
+    def scatter_set(bks, bidx, vals):
+        bx, by, binf = bks
+        vx, vy, vinf = vals
+        bx = _tree(lambda bk, v: bk.at[bidx].set(v, mode="drop"), bx, vx)
+        by = _tree(lambda bk, v: bk.at[bidx].set(v, mode="drop"), by, vy)
+        binf = binf.at[bidx].set(vinf, mode="drop")
+        return (bx, by, binf)
+
+    buckets = (bx, by, binf)
+
+    # leaf nodes: every element is a whole single-element run
+    lv = rv = p
+    ld = rd = keys
+    whole = jnp.ones((W * n,), bool)
+
+    for lvl in range(log_n):
+        a_lv = slice3(lv, slice(0, None, 2)); b_lv = slice3(lv, slice(1, None, 2))
+        a_rv = slice3(rv, slice(0, None, 2)); b_rv = slice3(rv, slice(1, None, 2))
+        a_ld, b_ld = ld[0::2], ld[1::2]
+        a_rd, b_rd = rd[0::2], rd[1::2]
+        a_wh, b_wh = whole[0::2], whole[1::2]
+
+        merge = a_rd == b_ld
+        # the one affine add per pair (shared batched inversion)
+        bridge = affine_add_batch(curve, a_rv, b_lv)
+
+        emit_a = (~merge) & (~a_wh)           # A's right run closes
+        emit_b = (~merge) & (~b_wh)           # B's left run closes
+        emit_m = merge & (~a_wh) & (~b_wh)    # bridged interior run closes
+        buckets = scatter_set(buckets, close_idx(emit_a, a_rd), a_rv)
+        buckets = scatter_set(buckets, close_idx(emit_b, b_ld), b_lv)
+        buckets = scatter_set(buckets, close_idx(emit_m, a_rd), bridge)
+
+        m2 = (merge)[:, None]
+        lv = sel3(jnp.logical_and(m2, a_wh[:, None]), bridge, a_lv)
+        rv = sel3(jnp.logical_and(m2, b_wh[:, None]), bridge, b_rv)
+        ld, rd = a_ld, b_rd
+        whole = a_wh & b_wh & merge
+
+    # W root nodes, one per window: leftmost run closes; rightmost too
+    # unless it IS the leftmost
+    buckets = scatter_set(buckets, close_idx(jnp.ones((W,), bool), ld), lv)
+    buckets = scatter_set(buckets, close_idx(~whole, rd), rv)
+
+    # lift buckets to Jacobian (z = 0 for infinity, 1 otherwise)
+    bx, by, binf = buckets
+    bshape = F.batch_shape(bx)
+    bz = F.select(binf, F.zeros(bshape), F.one(bshape))
+    return _tree(lambda a: a.reshape((W, B) + a.shape[1:]), (bx, by, bz))
+
+
+def _run_merge_tree_jacobian(curve, xy, inf, keys, idx, W, n, log_n, B, NB,
+                             close_idx):
+    """Run-merge tree in JACOBIAN coordinates: bridge adds are branch-free
+    unified adds that dispatch to the fused VMEM Pallas kernels on TPU
+    (pallas_curve.g1_add / g1_add_z01 at the leaf level). More field muls
+    than the affine tree but each add is ONE kernel with zero intermediate
+    HBM traffic — wins when dispatch/bandwidth dominate. Returns (W, B)
+    Jacobian bucket pytree."""
+    F = curve.F
     # gather affine coords only (z is synthesized: 1/3 less gather traffic)
     p_xy = _tree(lambda a: jnp.take(a, idx, axis=0), xy)
     inf_f = jnp.take(inf, idx, axis=0)              # (W*n, 1)
-    bshape = curve.F.batch_shape(p_xy[0])
-    one_z = curve.F.one(bshape)
-    zero_z = curve.F.zeros(bshape)
-    z = curve.F.select(inf_f, zero_z, one_z)
+    bshape = F.batch_shape(p_xy[0])
+    z = F.select(inf_f, F.zeros(bshape), F.one(bshape))
     x, y = p_xy
     p = (x, y, z)
 
@@ -142,19 +270,13 @@ def _flat_window_sums(curve: JacobianCurve, digits, xy, inf, c: int):
             lambda bk, v: bk.at[bidx].set(v, mode="drop"), buckets, vals)
 
     buckets = _tree(lambda a: jnp.zeros((NB,) + a.shape[1:], a.dtype), p)
-    sentinel = jnp.uint32(NB)
-    dig_mask = jnp.uint32(B - 1)
-
-    def close_idx(mask, key):
-        # digit 0 is never banked (contributes nothing)
-        return jnp.where(mask & ((key & dig_mask) != 0), key, sentinel)
 
     # leaf nodes: every element is a whole single-element run
     lv = rv = p
     ld = rd = keys
     whole = jnp.ones((W * n,), bool)
 
-    for _ in range(log_n):
+    for lvl in range(log_n):
         a_lv = _tree(lambda t: t[0::2], lv); b_lv = _tree(lambda t: t[1::2], lv)
         a_rv = _tree(lambda t: t[0::2], rv); b_rv = _tree(lambda t: t[1::2], rv)
         a_ld, b_ld = ld[0::2], ld[1::2]
@@ -162,7 +284,12 @@ def _flat_window_sums(curve: JacobianCurve, digits, xy, inf, c: int):
         a_wh, b_wh = whole[0::2], whole[1::2]
 
         merge = a_rd == b_ld
-        bridge = curve.add(a_rv, b_lv)  # the one add per pair
+        # the one add per pair; at the leaf level both operands are
+        # affine-or-infinity (Z in {0,1}) -> ~1.9x cheaper specialized add
+        if lvl == 0:
+            bridge = curve.add_z01(a_rv, b_lv)
+        else:
+            bridge = curve.add(a_rv, b_lv)
 
         emit_a = (~merge) & (~a_wh)           # A's right run closes
         emit_b = (~merge) & (~b_wh)           # B's left run closes
@@ -181,14 +308,7 @@ def _flat_window_sums(curve: JacobianCurve, digits, xy, inf, c: int):
     # unless it IS the leftmost
     buckets = scatter_set(buckets, close_idx(jnp.ones((W,), bool), ld), lv)
     buckets = scatter_set(buckets, close_idx(~whole, rd), rv)
-
-    # weighted sum per window: sum_b b*S_b = sum_{j>=1} T_j with T the
-    # reverse cumsum; two HS scans over (W, B) — full-width VPU work.
-    bk = _tree(lambda a: a.reshape((W, B) + a.shape[1:]), buckets)
-    suffix = _cumulative_points_axis1(curve, bk, c, reverse=True)
-    t = _tree(lambda a: a.at[:, 0].set(jnp.zeros_like(a[:, 0])), suffix)
-    total = _cumulative_points_axis1(curve, t, c, reverse=False)
-    return _tree(lambda a: a[:, -1], total)       # (W, ...)
+    return _tree(lambda a: a.reshape((W, B) + a.shape[1:]), buckets)
 
 
 def _pad_problem(points_affine, scalars):

@@ -172,3 +172,69 @@ class TestGenVerifier:
     def test_balanced_braces(self, pk):
         src = generate_verifier(pk.vk)
         assert src.count("{") == src.count("}")
+
+
+class TestWebsnarkGoldenFixture:
+    """Hand-authored golden bytes for the websnark packed-key layout.
+
+    Built DIRECTLY from the binarify.ts spec
+    (/root/reference/operator/src/utils/binarify.ts:50-207) by an
+    independent throwaway script — NOT by this repo's writer — so
+    writer+parser-symmetric layout mistakes (swapped field order, wrong
+    Montgomery modulus, missed C-table skip) cannot hide behind the
+    round-trip tests above. Tiny key: nVars=3, nPublic=1, domainSize=2;
+    points are the real G1/G2 generators and 2*G1.
+    """
+
+    FIXTURE_HEX = ("030000000100000002000000e80100006002000090020000500300001004000090050000d00500009d0d8fc58d435dd33d0bc7f528eb780a2c4679786fa36e662fdf079ac1770a0e3a1b1e8b1b87baa67b168eeb51d6f114588cf2f0de46ddcc5ebe0f3483ef141c38eae7c3b66004e169548e438b540bbcecc20a0cb42d82c24d018d099773221347fd7cd8168c203c8dca7168916a81975d588181b64550b829a031e1724e64049d0d8fc58d435dd33d0bc7f528eb780a2c4679786fa36e662fdf079ac1770a0e3a1b1e8b1b87baa67b168eeb51d6f114588cf2f0de46ddcc5ebe0f3483ef141c2620bc02d1b5838e72017b493519ebdcdf1a81974726b8fb3b5096af4138571940614ca87d73b4afc4d802585add4360862fa052fc50e9096b7bea3a83f0fe14f6e96b889dfa9d61789b9ef597d27ffefe7d1b23621a9eff06429eaeeb7efd28ee5618c7565b0964bb3c7d3222f957dc76103533be35f9558264fd93e6a0a40d2620bc02d1b5838e72017b493519ebdcdf1a81974726b8fb3b5096af4138571940614ca87d73b4afc4d802585add4360862fa052fc50e9096b7bea3a83f0fe14f6e96b889dfa9d61789b9ef597d27ffefe7d1b23621a9eff06429eaeeb7efd28ee5618c7565b0964bb3c7d3222f957dc76103533be35f9558264fd93e6a0a40d0100000000000000fbffff4f1c3496ac29cd609f9576fc362e4679786fa36e662fdf079ac1770a0e000000000200000000000000dbffff4f9e81573001bb3268866d7f30893a4e489fec655cf8d9d37365a9800101000000e6ffff9ff90e0d1b3f912aa3a368baea8906ddd876ebd847c3bbf5205508d015000000000100000001000000f1ffffef549cc2057d6722dec063f5a48ad26b694eea4b338e9d17ce44671f2a000000009d0d8fc58d435dd33d0bc7f528eb780a2c4679786fa36e662fdf079ac1770a0e3a1b1e8b1b87baa67b168eeb51d6f114588cf2f0de46ddcc5ebe0f3483ef141c38eae7c3b66004e169548e438b540bbcecc20a0cb42d82c24d018d099773221347fd7cd8168c203c8dca7168916a81975d588181b64550b829a031e1724e64049d0d8fc58d435dd33d0bc7f528eb780a2c4679786fa36e662fdf079ac1770a0e3a1b1e8b1b87baa67b168eeb51d6f114588cf2f0de46ddcc5ebe0f3483ef141c38eae7c3b66004e169548e438b540bbcecc20a0cb42d82c24d018d099773221347fd7cd8168c203c8dca7168916a81975d588181b64550b829a031e1724e64049d0d8fc58d435dd33d0bc7f528eb780a2c4679786fa36e662fdf079ac1770a0e3a1b1e8b1b87baa67b168eeb51d6f114588cf2f0de46ddcc5ebe0f3483ef141c38eae7c3b66004e169548e438b540bbcecc20a0cb42d82c24d018d099773221347fd7cd8168c203c8dca7168916a81975d588181b64550b829a031e1724e64042620bc02d1b5838e72017b493519ebdcdf1a81974726b8fb3b5096af4138571940614ca87d73b4afc4d802585add4360862fa052fc50e9096b7bea3a83f0fe14f6e96b889dfa9d61789b9ef597d27ffefe7d1b23621a9eff06429eaeeb7efd28ee5618c7565b0964bb3c7d3222f957dc76103533be35f9558264fd93e6a0a40d2620bc02d1b5838e72017b493519ebdcdf1a81974726b8fb3b5096af4138571940614ca87d73b4afc4d802585add4360862fa052fc50e9096b7bea3a83f0fe14f6e96b889dfa9d61789b9ef597d27ffefe7d1b23621a9eff06429eaeeb7efd28ee5618c7565b0964bb3c7d3222f957dc76103533be35f9558264fd93e6a0a40d2620bc02d1b5838e72017b493519ebdcdf1a81974726b8fb3b5096af4138571940614ca87d73b4afc4d802585add4360862fa052fc50e9096b7bea3a83f0fe14f6e96b889dfa9d61789b9ef597d27ffefe7d1b23621a9eff06429eaeeb7efd28ee5618c7565b0964bb3c7d3222f957dc76103533be35f9558264fd93e6a0a40d38eae7c3b66004e169548e438b540bbcecc20a0cb42d82c24d018d099773221347fd7cd8168c203c8dca7168916a81975d588181b64550b829a031e1724e64049d0d8fc58d435dd33d0bc7f528eb780a2c4679786fa36e662fdf079ac1770a0e3a1b1e8b1b87baa67b168eeb51d6f114588cf2f0de46ddcc5ebe0f3483ef141c38eae7c3b66004e169548e438b540bbcecc20a0cb42d82c24d018d099773221347fd7cd8168c203c8dca7168916a81975d588181b64550b829a031e1724e6404")
+
+    G1 = [1, 2, 1]
+    G1_2 = [
+        1368015179489954701390400359078579693043519447331113978918064868415326638035,
+        9918110051302171585080402603319702774565515993150576347155970296011118125764,
+        1]
+    G2 = [[10857046999023057135944570762232829481370756359578518086990519993285655852781,
+           11559732032986387107991004021392285783925812861821192530917403151452391805634],
+          [8495653923123431417604973247489272438418190587263600148770280649306958101930,
+           4082367875863433681332203403145435568316851327593401208105741076214120093531],
+          [1, 0]]
+    INF1 = [0, 1, 0]
+
+    @property
+    def expected(self):
+        return {
+            "protocol": "groth", "nVars": 3, "nPublic": 1, "domainSize": 2,
+            "vk_alfa_1": self.G1, "vk_beta_1": self.G1_2,
+            "vk_delta_1": self.G1,
+            "vk_beta_2": self.G2, "vk_delta_2": self.G2,
+            "polsA": [{"0": 1}, {}, {"0": 7, "1": 5}],
+            "polsB": [{}, {"1": 3}, {}],
+            "A": [self.G1, self.G1_2, self.G1],
+            "B1": [self.G1_2, self.G1, self.G1_2],
+            "B2": [self.G2, self.G2, self.G2],
+            "C": [self.INF1, self.INF1, self.G1_2],
+            "hExps": [self.G1, self.G1_2],
+        }
+
+    def test_parser_decodes_golden_bytes(self):
+        got = io.parse_websnark_proving_key(bytes.fromhex(self.FIXTURE_HEX))
+        exp = self.expected
+        assert got["nVars"] == 3 and got["nPublic"] == 1
+        assert got["domainSize"] == 2
+        for k in ("vk_alfa_1", "vk_beta_1", "vk_delta_1", "vk_beta_2",
+                  "vk_delta_2", "A", "B1", "B2", "C", "hExps"):
+            assert got[k] == exp[k], k
+        # poly dicts compare by content (key order irrelevant to ==)
+        assert got["polsA"] == exp["polsA"]
+        assert got["polsB"] == exp["polsB"]
+
+    def test_writer_reproduces_golden_bytes(self):
+        assert io.binarify_proving_key(self.expected).hex() == self.FIXTURE_HEX
+
+    def test_witness_golden_bytes(self):
+        # binarifyWitness (binarify.ts:10-48): 32-byte LE limbs in order
+        w = [1, 0, 2 ** 255 - 19]
+        exp = (b"\x01" + b"\x00" * 31 + b"\x00" * 32
+               + ((2 ** 255 - 19) % FR_MOD).to_bytes(32, "little"))
+        assert io.binarify_witness(w) == exp
+        assert io.parse_websnark_witness(exp) == [x % FR_MOD for x in w]

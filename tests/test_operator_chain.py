@@ -293,3 +293,57 @@ class TestHTTPService:
                 assert json.load(r)["queue_pending"] == 1
         finally:
             server.shutdown()
+
+
+class TestCLIService:
+    """Service-mode CLI commands over a real socket (scripts/index.js:71-188
+    parity: deposit/send/user against a running operator)."""
+
+    def test_deposit_send_user_flow(self):
+        from zkrollup.cli import main as cli
+        c = make_contract()
+        state = OperatorState(CFG)
+        queue = TxQueue()
+        app = OperatorApp(CFG, state, queue, c)
+        server = start_app(app, port=0)
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            assert cli.main(["--url", base, "deposit", "--user", "A",
+                             "--eth", "1"]) == 0
+            assert cli.main(["--url", base, "deposit", "--user", "B",
+                             "--eth", "1"]) == 0
+            # operator mirrored the deposits via the chain gateway sync
+            assert state.load_tree().next_leaf_index == 2
+
+            # auto fee (0.3% floor) and auto nonce (on-chain + 1)
+            assert cli.main(["--url", base, "send", "--from", "A",
+                             "--to", "B", "--eth", "0.1"]) == 0
+            assert queue.pending_count() == 1
+
+            assert cli.main(["--url", base, "user", "--user", "A"]) == 0
+            assert cli.main(["--url", base, "user", "--index", "1"]) == 0
+            assert cli.main(["--url", base, "user", "--index", "9"]) == 1
+
+            # no daemon configured -> prove-batch reports the error
+            assert cli.main(["--url", base, "prove-batch"]) == 1
+        finally:
+            server.shutdown()
+
+    def test_chain_withdraw_route_validates(self):
+        import urllib.request
+        c = make_contract()
+        state = OperatorState(CFG)
+        app = OperatorApp(CFG, state, TxQueue(), c)
+        server = start_app(app, port=0)
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            req = urllib.request.Request(
+                f"{base}/chain/withdraw", data=b'{"amount": "1"}',
+                method="POST")
+            try:
+                urllib.request.urlopen(req)
+                assert False, "expected 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        finally:
+            server.shutdown()

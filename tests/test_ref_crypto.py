@@ -155,3 +155,46 @@ class TestEdDSA:
     def test_gen_private_key_range(self):
         for _ in range(8):
             assert 0 <= eddsa.gen_private_key() < bn.R
+
+
+class TestCipher:
+    """MiMC7-CTR cipher parity (crypto.ts:95-141; crypto.test.ts:22-64)."""
+
+    PRIV_A = 0x52F84E3F063F5F78C2FA0B8D3A5E8240F5F0C8E2A1D73B9465F30E2C19A70301 % bn.R
+    PRIV_B = 0x1C3A5E8240F5F0C8E2A1D73B9465F30E2C19A70301F84E3F063F5F78C2FA0B8D % bn.R
+    MSG = [1, 0, bn.R - 1, 10**18 + 7, 2**250 % bn.R]
+
+    def test_encrypt_decrypt_identity(self):
+        from zkrollup.ref import cipher
+        enc = cipher.encrypt(self.MSG, self.PRIV_A)
+        assert cipher.decrypt(enc, self.PRIV_A) == self.MSG
+
+    def test_wrong_key_garbles(self):
+        from zkrollup.ref import cipher
+        enc = cipher.encrypt(self.MSG, self.PRIV_A)
+        assert cipher.decrypt(enc, self.PRIV_B) != self.MSG
+
+    def test_iv_is_message_hash(self):
+        from zkrollup.ref import cipher
+        enc = cipher.encrypt(self.MSG, self.PRIV_A)
+        assert enc.iv == mimc.mimc7_multi_hash(self.MSG, 0)
+
+    def test_ecdh_encrypt_decrypt_both_directions(self):
+        # crypto.test.ts:39-55 — the two ECDH envelopes are identical and
+        # either party decrypts
+        from zkrollup.ref import cipher
+        pub_a = eddsa.gen_public_key(self.PRIV_A)
+        pub_b = eddsa.gen_public_key(self.PRIV_B)
+        e1 = cipher.ecdh_encrypt(self.MSG, self.PRIV_A, pub_b)
+        e2 = cipher.ecdh_encrypt(self.MSG, self.PRIV_B, pub_a)
+        assert e1.iv == e2.iv and e1.msg == e2.msg
+        assert cipher.ecdh_decrypt(e1, self.PRIV_A, pub_b) == self.MSG
+        assert cipher.ecdh_decrypt(e1, self.PRIV_B, pub_a) == self.MSG
+
+    def test_nonfield_message_roundtrips(self):
+        # the reference never reduces ciphertext (snarkjs bigInt); integers
+        # >= p round-trip exactly
+        from zkrollup.ref import cipher
+        msg = [bn.R + 12345, 2**300]
+        enc = cipher.encrypt(msg, self.PRIV_A)
+        assert cipher.decrypt(enc, self.PRIV_A) == msg

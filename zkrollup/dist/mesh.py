@@ -63,16 +63,24 @@ def init_distributed(coordinator: Optional[str] = None,
 # dryrun timed out on exactly this in round 2).
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=2)
 def _fold_fn(curve_kind: str):
     """Jitted log-depth fold of the D gathered Jacobian partials. One
     compiled program instead of dozens of per-op eager compiles (the fold
-    is tiny at runtime but eager field ops each pay a first-call compile)."""
+    is tiny at runtime but eager field ops each pay a first-call compile).
+    Non-power-of-two partial counts are padded with the point at infinity
+    so the halving split stays shape-consistent."""
     curve = g1_jax.G1 if curve_kind == "g1" else g2_jax.G2
 
     @jax.jit
     def fold(p):
         n = jax.tree_util.tree_leaves(p)[0].shape[0]
+        n_pad = 1 << max((n - 1).bit_length(), 0)
+        if n_pad != n:
+            inf = curve.infinity((n_pad - n,))
+            p = jax.tree_util.tree_map(
+                lambda a, i: jnp.concatenate([a, i], axis=0), p, inf)
+            n = n_pad
         while n > 1:
             half = n // 2
             lo = jax.tree_util.tree_map(lambda a: a[:half], p)
@@ -88,7 +96,7 @@ def _fold_parts(curve, p):
     return _fold_fn("g1" if curve is g1_jax.G1 else "g2")(p)
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=16)
 def _msm_g1_local(mesh: Mesh, c: int):
     axis = mesh.axis_names[0]
     curve = g1_jax.G1
@@ -112,7 +120,7 @@ def sharded_msm_g1(mesh: Mesh, points_affine, scalars, c: int = 10):
     return _fold_parts(g1_jax.G1, parts)
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=16)
 def _msm_g2_local(mesh: Mesh, c: int):
     axis = mesh.axis_names[0]
     curve = g2_jax.G2
@@ -166,7 +174,7 @@ def _dft_matrix(d: int, inverse: bool) -> np.ndarray:
     return FR.to_mont_host(vals).reshape(d, d, L.N_LIMBS)
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=16)
 def _sharded_ntt_fn(mesh: Mesh, log_n: int, inverse: bool):
     """Cached jitted four-step NTT program for (mesh, log_n, inverse)."""
     axis = mesh.axis_names[0]
@@ -237,7 +245,7 @@ def block_shard(x: jnp.ndarray, d: int) -> jnp.ndarray:
     return x.reshape(d, n // d, L.N_LIMBS)
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=16)
 def _blocked_to_cyclic_fn(mesh: Mesh):
     axis = mesh.axis_names[0]
     d = mesh.devices.size

@@ -316,8 +316,11 @@ def binarify_proving_key(pkj: dict) -> bytes:
             _w_bigint(buf, mont_q(c))
 
     def w_poly(buf, pol: dict):
+        # JS Object.keys enumerates integer-like keys in ASCENDING NUMERIC
+        # order (spec: integer indices first, ascending) — not insertion
+        # order; pinned by the golden fixture in tests/test_interop.py
         _w_u32(buf, len(pol))
-        for k in pol:  # preserve insertion order like JS Object.keys
+        for k in sorted(pol, key=int):
             _w_u32(buf, int(k))
             _w_bigint(buf, mont_r(pol[k]))
 

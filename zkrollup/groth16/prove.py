@@ -41,6 +41,9 @@ from .qap import to_coo
 # override exists because compile time scales with the window (the bucket
 # scan unrolls ~3c add bodies) — tests/conftest.py sets a small window so
 # CPU test compiles stay fast. Results are identical for any window.
+# CONTRACT: read ONCE at import (the module-level _msm_g1/_msm_g2 jits bake
+# it into their compiled programs) — set ZKROLLUP_MSM_WINDOW before
+# importing zkrollup, not after.
 MSM_WINDOW = int(os.environ.get("ZKROLLUP_MSM_WINDOW", "10"))
 
 

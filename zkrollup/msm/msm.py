@@ -116,6 +116,11 @@ def _reduce_axis1(curve, pts):
 #               when per-op dispatch/HBM dominates, i.e. current TPU path)
 # Differentially equal; benchmarked per backend.
 _TREE_MODE = os.environ.get("ZKROLLUP_MSM_TREE", "jacobian")
+if _TREE_MODE not in ("affine", "jacobian"):
+    raise ValueError(
+        f"ZKROLLUP_MSM_TREE={_TREE_MODE!r}: must be 'affine' or 'jacobian'. "
+        "Read once at import (jit-cached programs bake the choice in); set "
+        "it before importing zkrollup.")
 
 
 def _flat_window_sums(curve: JacobianCurve, digits, xy, inf, c: int):

@@ -7,8 +7,17 @@
     POST /send                submit a signed L2 transfer
 
 plus GET /metrics (batch-prover counters; the observability endpoint the
-reference lacks — SURVEY §5). Stdlib http.server: the service tier is not
-performance-critical (SURVEY §2.5) and must run without extra deps.
+reference lacks — SURVEY §5) and the chain-gateway routes the CLI drives
+(the reference client talks ethers JSON-RPC to ganache for these —
+scripts/index.js:129,141-152; here the in-process simulator is behind the
+operator, so they are HTTP):
+
+    POST /chain/deposit       {publicKey: [x, y], value}
+    POST /chain/withdraw      {amount, proof, signals}
+    POST /admin/prove-batch   drain one batch through the daemon
+
+Stdlib http.server: the service tier is not performance-critical
+(SURVEY §2.5) and must run without extra deps.
 """
 
 from __future__ import annotations
@@ -38,6 +47,17 @@ class OperatorApp:
         self.queue = queue
         self.contract = contract
         self.daemon = daemon
+        self._event_cursor = 0
+
+    def sync_chain(self) -> int:
+        """Deliver new contract events to the operator state (the pubsub
+        subscription of app.ts:52-56, polled instead of pushed). Returns
+        the number of events applied."""
+        evs = self.contract.events[self._event_cursor:]
+        for ev in evs:
+            self.state.on_chain_event(ev)
+        self._event_cursor += len(evs)
+        return len(evs)
 
     # route handlers (transport-independent; used by tests directly) -------
 
@@ -104,6 +124,52 @@ class OperatorApp:
         self.queue.push(tx)
         return {"status": "Transaction accepted"}
 
+    def post_chain_deposit(self, body: dict) -> dict:
+        """Chain gateway for `deposit` (scripts/index.js:129 drives the
+        contract directly; here the operator fronts the simulator)."""
+        try:
+            px, py = (int(body["publicKey"][0]), int(body["publicKey"][1]))
+            value = int(body["value"])
+        except (KeyError, ValueError, TypeError, IndexError):
+            return {"error": "Expected {publicKey: [x, y], value}"}
+        try:
+            self.contract.deposit(px, py, value)
+        except ValueError as e:
+            return {"error": str(e)}
+        self.sync_chain()
+        return self._user_payload(multi_hash([px, py]))
+
+    def post_chain_withdraw(self, body: dict) -> dict:
+        """Chain gateway for `withdraw(amount, a, b, c, input[3])`
+        (scripts/index.js:141-152 -> RollUp.sol:212)."""
+        from ..groth16.keys import Proof
+        try:
+            pj = body["proof"]
+            proof = Proof(
+                a=(int(pj["a"][0]), int(pj["a"][1])),
+                b=((int(pj["b"][0][0]), int(pj["b"][0][1])),
+                   (int(pj["b"][1][0]), int(pj["b"][1][1]))),
+                c=(int(pj["c"][0]), int(pj["c"][1])))
+            signals = [int(s) for s in body["signals"]]
+            amount = int(body["amount"])
+        except (KeyError, ValueError, TypeError, IndexError):
+            return {"error": "Expected {amount, proof: {a,b,c}, signals}"}
+        try:
+            got = self.contract.withdraw(amount, proof, signals)
+        except ValueError as e:
+            return {"error": str(e)}
+        self.sync_chain()
+        return {"withdrawn": str(got)}
+
+    def post_prove_batch(self) -> dict:
+        """Drive the batch daemon one step (reference: the loop lives only
+        in operatorLogic.test.ts; here it is an operator route)."""
+        if self.daemon is None:
+            return {"error": "No batch daemon configured"}
+        processed = self.daemon.step()
+        self.sync_chain()
+        return {"processed": processed, **self.get_metrics()}
+
     def get_metrics(self) -> dict:
         m = {"queue_pending": self.queue.pending_count()}
         if self.daemon is not None:
@@ -136,7 +202,12 @@ def make_http_server(app: OperatorApp, host: str = "127.0.0.1",
                 self._reply({"error": "Not found"}, 404)
 
         def do_POST(self):
-            if self.path != "/send":
+            routes = {"/send": app.post_send,
+                      "/chain/deposit": app.post_chain_deposit,
+                      "/chain/withdraw": app.post_chain_withdraw,
+                      "/admin/prove-batch": lambda _b: app.post_prove_batch()}
+            handler = routes.get(self.path)
+            if handler is None:
                 self._reply({"error": "Not found"}, 404)
                 return
             length = int(self.headers.get("Content-Length", 0))
@@ -145,7 +216,10 @@ def make_http_server(app: OperatorApp, host: str = "127.0.0.1",
             except json.JSONDecodeError:
                 self._reply({"error": "Invalid JSON"}, 400)
                 return
-            resp = app.post_send(body)
+            try:
+                resp = handler(body)
+            except RuntimeError as e:
+                resp = {"error": str(e)}
             self._reply(resp, 400 if "error" in resp else 201)
 
         def log_message(self, *args):  # quiet

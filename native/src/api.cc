@@ -21,6 +21,7 @@
 #include "curve.h"
 #include "mimc.h"
 #include "pairing.h"
+#include "prover.h"
 
 using namespace zk;
 
@@ -95,7 +96,7 @@ std::vector<u64> scalar_words(const uint8_t *k, size_t len) {
 
 extern "C" {
 
-int zkh_version() { return 3; }
+int zkh_version() { return 4; }
 
 // ---------------------------------------------------------------------------
 // keccak / MiMC
@@ -424,6 +425,150 @@ int zkh_bjj_mul(const uint8_t *p, const uint8_t *k, size_t k_len,
   fr_write(x, out);
   fr_write(y, out + 32);
   return 1;
+}
+
+// ---------------------------------------------------------------------------
+// Host Groth16 prover core (prover.h): NTT, quotient, Pippenger MSM,
+// fixed-base setup tables. "mont" entry points exchange RAW Montgomery-form
+// 32-byte LE residues (zero-conversion interop with the 16x16-limb packed
+// tables in zkrollup/groth16/keys.py: uint32->uint16 narrowing IS this
+// byte layout).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+G1Affine g1_raw_mont(const uint8_t *x, const uint8_t *y, uint8_t inf) {
+  if (inf) return {Fq::zero(), Fq::zero(), true};
+  G1Affine p;
+  std::memcpy(p.x.m.v, x, 32);
+  std::memcpy(p.y.m.v, y, 32);
+  p.inf = false;
+  return p;
+}
+
+}  // namespace
+
+// in-place NTT/iNTT over n standard-form Fr elements (n a power of two)
+void zkh_fr_ntt(uint8_t *data, size_t n, int inverse) {
+  std::vector<Fr> a(n);
+  for (size_t i = 0; i < n; ++i) a[i] = fr_read(data + 32 * i);
+  prover::fr_ntt(a.data(), n, inverse != 0);
+  for (size_t i = 0; i < n; ++i) fr_write(a[i], data + 32 * i);
+}
+
+// COO A/B/C evaluation + quotient h = (A*B - C)/Z on the coset.
+// coeff buffers are RAW MONTGOMERY form; witness and h are standard form.
+void zkh_groth16_quotient(
+    const uint32_t *a_row, const uint32_t *a_var, const uint8_t *a_coeff,
+    size_t a_nnz, const uint32_t *b_row, const uint32_t *b_var,
+    const uint8_t *b_coeff, size_t b_nnz, const uint32_t *c_row,
+    const uint32_t *c_var, const uint8_t *c_coeff, size_t c_nnz,
+    const uint8_t *witness, size_t nv, size_t m, uint8_t *h_out) {
+  std::vector<Fr> w(nv);
+  for (size_t i = 0; i < nv; ++i) w[i] = fr_read(witness + 32 * i);
+  std::vector<Fr> A(m), B(m), C(m), H(m);
+  std::thread ta([&] {
+    prover::spmv({a_row, a_var, a_coeff, a_nnz}, w.data(), m, A.data());
+  });
+  std::thread tb([&] {
+    prover::spmv({b_row, b_var, b_coeff, b_nnz}, w.data(), m, B.data());
+  });
+  prover::spmv({c_row, c_var, c_coeff, c_nnz}, w.data(), m, C.data());
+  ta.join();
+  tb.join();
+  prover::quotient_from_evals(A.data(), B.data(), C.data(), m, H.data());
+  for (size_t i = 0; i < m; ++i) fr_write(H[i], h_out + 32 * i);
+}
+
+// Pippenger G1 MSM over a raw-mont table; scalars standard form; c <= 0
+// picks the window from the size. Output: 65-byte standard affine.
+int zkh_g1_msm_pip(const uint8_t *xs, const uint8_t *ys, const uint8_t *infs,
+                   const uint8_t *scalars, size_t n, int c, uint8_t *out) {
+  std::vector<G1Affine> pts(n);
+  for (size_t i = 0; i < n; ++i)
+    pts[i] = g1_raw_mont(xs + 32 * i, ys + 32 * i, infs[i]);
+  G1 r = prover::msm_pippenger<G1, G1Affine>(pts.data(), scalars, n, c);
+  write_g1(r.to_affine(), out);
+  return 1;
+}
+
+int zkh_g2_msm_pip(const uint8_t *xs0, const uint8_t *xs1, const uint8_t *ys0,
+                   const uint8_t *ys1, const uint8_t *infs,
+                   const uint8_t *scalars, size_t n, int c, uint8_t *out) {
+  std::vector<G2Affine> pts(n);
+  for (size_t i = 0; i < n; ++i) {
+    if (infs[i]) {
+      pts[i] = {Fq2::zero(), Fq2::zero(), true};
+      continue;
+    }
+    G2Affine p;
+    std::memcpy(p.x.c0.m.v, xs0 + 32 * i, 32);
+    std::memcpy(p.x.c1.m.v, xs1 + 32 * i, 32);
+    std::memcpy(p.y.c0.m.v, ys0 + 32 * i, 32);
+    std::memcpy(p.y.c1.m.v, ys1 + 32 * i, 32);
+    p.inf = false;
+    pts[i] = p;
+  }
+  G2 r = prover::msm_pippenger<G2, G2Affine>(pts.data(), scalars, n, c);
+  write_g2(r.to_affine(), out);
+  return 1;
+}
+
+namespace {
+
+constexpr u64 G2X0[4] = {0x46debd5cd992f6edull, 0x674322d4f75edaddull,
+                         0x426a00665e5c4479ull, 0x1800deef121f1e76ull};
+constexpr u64 G2X1[4] = {0x97e485b7aef312c2ull, 0xf1aa493335a9e712ull,
+                         0x7260bfb731fb5d25ull, 0x198e9393920d483aull};
+constexpr u64 G2Y0[4] = {0x4ce6cc0166fa7daaull, 0xe3d1e7690c43d37bull,
+                         0x4aab71808dcb408full, 0x12c85ea5db8c6debull};
+constexpr u64 G2Y1[4] = {0x55acdadcd122975bull, 0xbc4b313370b38ef3ull,
+                         0xec9e99ad690c3395ull, 0x090689d0585ff075ull};
+
+const prover::FixedBaseTable<G1, G1Affine> &g1_gen_table() {
+  static prover::FixedBaseTable<G1, G1Affine> tbl(G1::from_affine(
+      {Fq::from_std(U256{{1, 0, 0, 0}}), Fq::from_std(U256{{2, 0, 0, 0}}),
+       false}));
+  return tbl;
+}
+
+const prover::FixedBaseTable<G2, G2Affine> &g2_gen_table() {
+  static prover::FixedBaseTable<G2, G2Affine> tbl(G2::from_affine(
+      {{Fq::from_std(U256{{G2X0[0], G2X0[1], G2X0[2], G2X0[3]}}),
+        Fq::from_std(U256{{G2X1[0], G2X1[1], G2X1[2], G2X1[3]}})},
+       {Fq::from_std(U256{{G2Y0[0], G2Y0[1], G2Y0[2], G2Y0[3]}}),
+        Fq::from_std(U256{{G2Y1[0], G2Y1[1], G2Y1[2], G2Y1[3]}})},
+       false}));
+  return tbl;
+}
+
+}  // namespace
+
+// out[i] = scalars[i] * G1_GEN, raw-mont coordinate planes + inf bytes
+// (the packed-table layout groth16/setup.py builds)
+void zkh_g1_fixed_base_mont(const uint8_t *scalars, size_t n, uint8_t *xs,
+                            uint8_t *ys, uint8_t *infs) {
+  std::vector<G1Affine> out(n);
+  prover::fixed_base_many(g1_gen_table(), scalars, n, out.data());
+  for (size_t i = 0; i < n; ++i) {
+    infs[i] = out[i].inf ? 1 : 0;
+    std::memcpy(xs + 32 * i, out[i].x.m.v, 32);
+    std::memcpy(ys + 32 * i, out[i].y.m.v, 32);
+  }
+}
+
+void zkh_g2_fixed_base_mont(const uint8_t *scalars, size_t n, uint8_t *xs0,
+                            uint8_t *xs1, uint8_t *ys0, uint8_t *ys1,
+                            uint8_t *infs) {
+  std::vector<G2Affine> out(n);
+  prover::fixed_base_many(g2_gen_table(), scalars, n, out.data());
+  for (size_t i = 0; i < n; ++i) {
+    infs[i] = out[i].inf ? 1 : 0;
+    std::memcpy(xs0 + 32 * i, out[i].x.c0.m.v, 32);
+    std::memcpy(xs1 + 32 * i, out[i].x.c1.m.v, 32);
+    std::memcpy(ys0 + 32 * i, out[i].y.c0.m.v, 32);
+    std::memcpy(ys1 + 32 * i, out[i].y.c1.m.v, 32);
+  }
 }
 
 }  // extern "C"

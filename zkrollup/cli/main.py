@@ -306,7 +306,19 @@ def demo_withdraw(args) -> int:
     return 0
 
 
+def _honor_platform_env() -> None:
+    """Make JAX_PLATFORMS authoritative even when a site plugin has already
+    pinned another backend (e.g. a TPU tunnel registered from
+    sitecustomize): the env var alone loses to an already-registered
+    default, jax.config.update wins (same trick as tests/conftest.py)."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
+
 def main(argv=None) -> int:
+    _honor_platform_env()
     p = argparse.ArgumentParser(prog="zkrollup",
                                 description="TPU-native zk-rollup driver")
     p.add_argument("--keys-dir", default=os.path.expanduser("~/.cache/zkrollup"),

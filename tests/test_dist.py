@@ -115,3 +115,39 @@ class TestShardedQuotient:
             mesh, cyclic_shard(a, D), cyclic_shard(b, D), cyclic_shard(c, D),
             zinv, LOG_N)
         assert (np.asarray(unblock(got)) == np.asarray(want)).all()
+
+
+class TestDistributedProve:
+    """prove(mesh=...) — the multi-chip prover entry (VERDICT r3 #6):
+    sharded quotient + five sharded MSMs must yield the SAME proof as the
+    single-chip path with pinned (r, s)."""
+
+    def _circuit(self):
+        from zkrollup.r1cs.builder import Builder
+        bld = Builder(check=True)
+        out = bld.alloc_output_deferred()
+        x = bld.alloc_public_input(7)
+        t = x
+        for _ in range(40):
+            t = bld.mul(t, t) + x
+        bld.bind_output(out, t)
+        return bld
+
+    def test_mesh_prove_bit_identical_and_verifies(self):
+        from zkrollup.dist.mesh import make_mesh
+        from zkrollup.groth16.setup import setup
+        from zkrollup.groth16.prove import prove
+        from zkrollup.groth16.verify import verify
+        from zkrollup.native import engine
+
+        bld = self._circuit()
+        r1cs, witness = bld.r1cs(), bld.witness()
+        pk = setup(r1cs, seed=b"dist-prove")
+        mesh = make_mesh(8)
+
+        p_dist = prove(pk, r1cs, witness, r=3, s=5, mesh=mesh)
+        assert verify(pk.vk, p_dist, bld.public_signals())
+
+        backend = "host" if engine.available() else "device"
+        p_one = prove(pk, r1cs, witness, r=3, s=5, backend=backend)
+        assert (p_dist.a, p_dist.b, p_dist.c) == (p_one.a, p_one.b, p_one.c)

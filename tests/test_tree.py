@@ -121,3 +121,57 @@ class TestTreeStore:
         loaded.insert_(leaf(3), 3)
         m.insert_(leaf(3), 3)
         assert loaded.root == m.root
+
+
+class TestBulkBuild:
+    """tree/bulk.py: batched-kernel rebuild == sequential insert_ state."""
+
+    def _incremental(self, n, depth=6):
+        t = create_merkle_tree(depth)
+        for i in range(n):
+            t.insert_(1000 + i, {"i": i})
+        return t
+
+    @pytest.mark.parametrize("n", [1, 2, 3, 5, 16, 31])
+    def test_equals_incremental(self, n):
+        from zkrollup.tree import bulk
+        inc = self._incremental(n)
+        got = bulk.from_leaves([1000 + i for i in range(n)], 6,
+                               leaves_raw=[{"i": i} for i in range(n)])
+        assert got.equals(inc)
+
+    def test_empty(self):
+        from zkrollup.tree import bulk
+        assert bulk.from_leaves([], 6).equals(create_merkle_tree(6))
+
+    def test_capacity_enforced(self):
+        from zkrollup.tree import bulk
+        with pytest.raises(ValueError):
+            bulk.from_leaves(list(range(32)), 6)  # max is 2^(6-1)-1 usable
+
+    def test_host_and_device_paths_agree(self):
+        from zkrollup.tree import bulk
+        leaves = [7 * i + 3 for i in range(24)]
+        dev = bulk.from_leaves(leaves, 6, use_device=True)
+        host = bulk.from_leaves(leaves, 6, use_device=False)
+        assert dev.equals(host)
+
+    def test_multi_hash_rows_bit_exact(self):
+        # the batched kernel vs the scalar reference sponge (leaf hashing,
+        # helpers.ts:80-82 parity)
+        from zkrollup.tree import bulk
+        from zkrollup.ref.mimc import multi_hash
+        rows = [[i, i * 31 + 5, i ** 3, 1] for i in range(20)]
+        got = bulk.multi_hash_rows(rows, use_device=True)
+        assert got == [multi_hash(r) for r in rows]
+
+    def test_store_integrity_check(self, tmp_path):
+        from zkrollup.tree.store import TreeStore
+        store = TreeStore(str(tmp_path / "t.db"))
+        t = self._incremental(9)
+        store.save_all_leaves("balanceTree", t)
+        assert store.verify_integrity("balanceTree")
+        # corrupt one leaf hash behind the store's back
+        store.conn.execute("UPDATE leaves SET hash='12345' WHERE idx=3")
+        store.conn.commit()
+        assert not store.verify_integrity("balanceTree")

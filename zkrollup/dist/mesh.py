@@ -351,7 +351,18 @@ def distributed_prove_core(mesh: Mesh, a_cyc, b_cyc, c_cyc, zinv_mont,
     h = sharded_quotient(mesh, a_cyc, b_cyc, c_cyc, zinv_mont, log_m)
     results = {}
     for name, (pts, sc) in g1_tables.items():
-        sc_use = unblock(h)[:pts[0].shape[0]] if sc is None else sc
+        if sc is None:
+            # h's scalars; tables may be padded BEYOND the domain (uniform
+            # table sizes share one compiled MSM program) — pad with zeros
+            sc_use = unblock(h)
+            n_pts = pts[0].shape[0]
+            if sc_use.shape[0] < n_pts:
+                sc_use = jnp.concatenate(
+                    [sc_use, jnp.zeros((n_pts - sc_use.shape[0], L.N_LIMBS),
+                                       jnp.uint32)], axis=0)
+            sc_use = sc_use[:n_pts]
+        else:
+            sc_use = sc
         results[name] = sharded_msm_g1(mesh, pts, sc_use, c=c)
     if g2_table is not None:
         pts2, sc2 = g2_table

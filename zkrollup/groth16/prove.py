@@ -157,15 +157,112 @@ def _prove_host(pk: ProvingKey, coo, witness: List[int], r: int,
     return _blind_combine(pk, pi_a, pi_b, pi_b1, pi_c, pi_h, r, s)
 
 
+def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
+    if a.shape[0] >= n:
+        return a
+    pad = np.zeros((n - a.shape[0],) + a.shape[1:], a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+def _dist_tables(pk: ProvingKey, d: int):
+    """Pad every G1 key table (and B2) to ONE uniform size divisible by the
+    mesh so all four sharded G1 MSMs share a single compiled program
+    (infinity points + zero scalars are no-ops). Cached per (pk, d)."""
+    cache = getattr(pk, "_dist_tables", {})
+    if d in cache:
+        return cache[d]
+    m = pk.domain_size
+    pad_to = max(m, -(-pk.n_vars // d) * d)
+
+    def pad_inf(inf):
+        inf = np.asarray(inf)
+        if inf.shape[0] < pad_to:  # padding rows are the point at infinity
+            inf = np.concatenate(
+                [inf, np.ones((pad_to - inf.shape[0], 1), inf.dtype)],
+                axis=0)
+        return jnp.asarray(inf)
+
+    def pad_g1(tbl):
+        x, y, inf = tbl
+        return (jnp.asarray(_pad_rows(np.asarray(x), pad_to)),
+                jnp.asarray(_pad_rows(np.asarray(y), pad_to)),
+                pad_inf(inf))
+
+    (bx0, bx1), (by0, by1), binf = pk.b2_g2
+    b2 = ((jnp.asarray(_pad_rows(np.asarray(bx0), pad_to)),
+           jnp.asarray(_pad_rows(np.asarray(bx1), pad_to))),
+          (jnp.asarray(_pad_rows(np.asarray(by0), pad_to)),
+           jnp.asarray(_pad_rows(np.asarray(by1), pad_to))),
+          pad_inf(binf))
+    tables = {
+        "pad_to": pad_to,
+        "a": pad_g1(pk.a_g1),
+        "b1": pad_g1(pk.b1_g1),
+        "c": pad_g1(pk.c_g1),
+        "h": pad_g1(pk.h_g1),
+        "b2": b2,
+    }
+    cache[d] = tables
+    object.__setattr__(pk, "_dist_tables", cache)
+    return tables
+
+
+def _prove_distributed(pk: ProvingKey, coo, witness: List[int], r: int,
+                       s: int, mesh, c: Optional[int] = None) -> Proof:
+    """Multi-chip prove: sharded four-step quotient + the five sharded
+    MSMs (dist/mesh.py distributed_prove_core) — SP over the NTT domain,
+    DP/TP over the MSM tables. Bit-identical to the single-chip path with
+    pinned (r, s) (tests/test_dist.py)."""
+    from ..dist import mesh as dmesh
+    d = int(mesh.devices.size)
+    m = coo.m
+    log_m = m.bit_length() - 1
+    c_eff = c if c is not None else min(MSM_WINDOW, 8)
+
+    w_plain_np = L.ints_to_limbs([w % FR_MOD for w in witness])
+    w_plain = jnp.asarray(w_plain_np)
+    w_mont = FR.to_mont(w_plain)
+    coo_dev = ((jnp.asarray(coo.a_row), jnp.asarray(coo.a_var),
+                jnp.asarray(coo.a_coeff)),
+               (jnp.asarray(coo.b_row), jnp.asarray(coo.b_var),
+                jnp.asarray(coo.b_coeff)),
+               (jnp.asarray(coo.c_row), jnp.asarray(coo.c_var),
+                jnp.asarray(coo.c_coeff)))
+    a_e, b_e, c_e = _abc_evals(coo_dev, w_mont, m)
+    z_coset = (pow(COSET_SHIFT, m, FR_MOD) - 1) % FR_MOD
+    zinv_mont = FR.const_mont(pow(z_coset, FR_MOD - 2, FR_MOD))
+
+    tbl = _dist_tables(pk, d)
+    pad_to = tbl["pad_to"]
+    w_sc = jnp.asarray(_pad_rows(w_plain_np, pad_to))
+    c_sc = jnp.asarray(_pad_rows(w_plain_np[pk.n_public:], pad_to))
+
+    _h, results = dmesh.distributed_prove_core(
+        mesh,
+        dmesh.cyclic_shard(a_e, d), dmesh.cyclic_shard(b_e, d),
+        dmesh.cyclic_shard(c_e, d), zinv_mont, log_m,
+        g1_tables={"a": (tbl["a"], w_sc), "b1": (tbl["b1"], w_sc),
+                   "c": (tbl["c"], c_sc), "h": (tbl["h"], None)},
+        g2_table=(tbl["b2"], w_sc), c=c_eff)
+
+    return _blind_combine(
+        pk, _g1_result(results["a"]), _g2_result(results["b2"]),
+        _g1_result(results["b1"]), _g1_result(results["c"]),
+        _g1_result(results["h"]), r, s)
+
+
 def prove(pk: ProvingKey, r1cs, witness: List[int],
           r: Optional[int] = None, s: Optional[int] = None,
-          backend: Optional[str] = None) -> Proof:
+          backend: Optional[str] = None, mesh=None) -> Proof:
     """Generate a Groth16 proof for `witness` (full assignment, var 0 = 1).
 
     backend: "device" (JAX/TPU pipeline), "host" (native C++ engine), or
     None/"auto" — device when a real accelerator is attached, host when
     running on the CPU backend with libzkhost built (the websnark-analog
-    fallback; ~50x faster than XLA:CPU on the 16-limb kernels)."""
+    fallback; ~50x faster than XLA:CPU on the 16-limb kernels).
+
+    mesh: a jax.sharding.Mesh routes the quotient + all five MSMs through
+    the distributed pipeline (dist/mesh.py) — the multi-chip path."""
     if r1cs.n_vars != pk.n_vars or r1cs.n_public != pk.n_public:
         raise ValueError("proving key does not match this constraint system")
     if r is None:
@@ -174,6 +271,10 @@ def prove(pk: ProvingKey, r1cs, witness: List[int],
         s = secrets.randbelow(FR_MOD)
 
     coo = to_coo(r1cs)
+    if mesh is not None:
+        assert coo.m == pk.domain_size, "key/domain mismatch"
+        return _prove_distributed(pk, coo, [w % FR_MOD for w in witness],
+                                  r, s, mesh)
     if backend is None:
         backend = os.environ.get("ZKROLLUP_PROVE_BACKEND", "auto")
     if backend == "auto":

@@ -155,3 +155,16 @@ class TreeStore:
     def exists(self, name: str) -> bool:
         cur = self.conn.execute("SELECT 1 FROM merkletrees WHERE name=?", (name,))
         return cur.fetchone() is not None
+
+    def verify_integrity(self, name: str, use_device: bool = True) -> bool:
+        """Recompute the FULL tree from stored leaves (batched MiMC kernel,
+        tree/bulk.py) and compare against the persisted state — corruption
+        check on restore, beyond the reference's trust-the-row semantics.
+        Returns True when root and caches match."""
+        from .bulk import from_leaves
+        stored = self.load(name)
+        rebuilt = from_leaves(stored.leaves, stored.depth,
+                              stored.zero_value,
+                              leaves_raw=stored.leaves_raw,
+                              use_device=use_device)
+        return stored.equals(rebuilt)

@@ -1,20 +1,28 @@
 """Headline benchmark — run on real TPU by the driver.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — the
+BN254 G1 MSM throughput at 2^17 points (BASELINE.json config 3; websnark's
+multiexp is the reference's hottest kernel).
 
-Round-1 headline: BN254 G1 MSM throughput at 2^17 points (BASELINE.json
-config 3 — websnark's multiexp is the reference's hottest kernel). The
-reference publishes no numbers (BASELINE.md), so vs_baseline is measured
-against a fixed websnark-class CPU proxy:
+vs_baseline is MEASURED, not assumed (BASELINE.md: the reference publishes
+no numbers): the same 2^17 MSM through this repo's native C++ Pippenger
+pinned to ONE host core (ZKH_THREADS=1) — the websnark-WASM-class
+single-core CPU engine the reference actually ran, on this machine.
 
-  BASELINE_MSM_POINTS_PER_S = 20_000
-    websnark WASM multiexp on a dev-class CPU core: tornado/semaphore-era
-    proofs over ~2^16-2^17-point tables took ~5-15 s in the browser/node,
-    i.e. O(10-20k) effective points/s; the reference's own 60 s jest
-    timeout for single proofs (prover/package.json:41) brackets the same
-    order of magnitude.
+The full BASELINE metric set (configs 1-5) is written to BENCH_EXTRA.json
+next to this file:
+  - bn254_g1_msm_points_per_s     config 3, TPU 1 chip
+  - ntt_elements_per_s            config 2, 2^20-point Fr NTT, TPU 1 chip
+  - mimc_hashes_per_s             config 1, batched MiMCSponge pair-hash
+  - groth16_proofs_per_s          config 4, flagship BatchProcessTx(2,6):
+        host-engine number always (operator-grade, 2 CPU cores); device
+        number when BENCH_DEVICE_PROVE=1 (first compile is slow; the
+        persistent cache makes reruns cheap)
+  - msm_scaling_model             config 5: bytes moved / collective count
+        for the sharded MSM on a D-device mesh (wall-clock on virtual CPU
+        devices is meaningless; the model backs the >=80% target)
 
-Extra stage timings are printed to stderr for humans.
+Stage timings go to stderr for humans.
 """
 
 import json
@@ -24,16 +32,31 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_MSM_POINTS_PER_S = 20_000.0
 LOG_N = int(os.environ.get("BENCH_MSM_LOG_N", "17"))
-MSM_WINDOW = int(os.environ.get("BENCH_MSM_WINDOW", "10"))
+MSM_WINDOW = int(os.environ.get("BENCH_MSM_WINDOW", "12"))
+# GLV measured SLOWER than plain on the run-merge design (r4 matrix:
+# 69.1k vs 80.7k pts/s at c=10) — plain is the default now.
+USE_GLV = os.environ.get("BENCH_GLV", "0") != "0"
+EXTRA_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH_EXTRA.json")
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main():
+def _timeit(fn, reps=3):
+    import jax
+    t0 = time.time()
+    jax.block_until_ready(fn())
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(reps):
+        jax.block_until_ready(fn())
+    return compile_s, (time.time() - t0) / reps
+
+
+def bench_msm(extra):
     import random
     import numpy as np
     import jax
@@ -46,62 +69,246 @@ def main():
     from zkrollup.msm.msm import msm
     from zkrollup.msm import glv
 
-    if jax.default_backend() not in ("cpu",):
-        # persistent compile cache: the MSM graph takes ~2-3 min to compile
-        # on a fresh process; cached reruns skip it. (Not on CPU: serializing
-        # the big CPU executables segfaults this jaxlib — see tests/conftest.)
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/zkrollup/jax"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-
-    log(f"devices: {jax.devices()}")
     random.seed(1234)
     n = 1 << LOG_N
-    use_glv = os.environ.get("BENCH_GLV", "1") != "0"
-
-    # distinct base points via tiling host points (coordinates irrelevant
-    # to throughput); scalars uniform in Fr
     base = [ref.g1_mul(ref.G1_GEN, random.randrange(1, ref.R))
             for _ in range(64)]
     pts = base * (n // 64)
     x, y, inf = g1_jax.pack_affine_host(pts)
     pa = (jnp.asarray(x), jnp.asarray(y), jnp.asarray(inf))
     scalars = [random.randrange(ref.R) for _ in range(n)]
+    sc_limbs = L.ints_to_limbs(scalars)
 
-    if use_glv:
-        # the production prover path (groth16/prove.py): GLV halves the
-        # window count; host decomposition + host window combine are
-        # counted in the timing (limb-form scalars, as prove.py passes)
-        sc_limbs = L.ints_to_limbs(scalars)
-
+    if USE_GLV:
         def run():
             return glv.msm_glv(pa, sc_limbs, c=MSM_WINDOW)
         variant = f"GLV, window c={MSM_WINDOW}"
     else:
-        sc = jnp.asarray(L.ints_to_limbs(scalars))
+        sc = jnp.asarray(sc_limbs)
         f = jax.jit(partial(msm, g1_jax.G1, c=MSM_WINDOW))
 
         def run():
             return f(pa, sc)
         variant = f"window c={MSM_WINDOW}"
 
-    t0 = time.time()
-    jax.block_until_ready(run())
-    log(f"compile+first run: {time.time() - t0:.1f}s")
-
-    reps = 3
-    t0 = time.time()
-    for _ in range(reps):
-        jax.block_until_ready(run())
-    dt = (time.time() - t0) / reps
+    compile_s, dt = _timeit(run)
+    log(f"msm compile+first: {compile_s:.1f}s; steady {dt:.2f}s "
+        f"-> {n / dt:,.0f} points/s")
     pts_per_s = n / dt
-    log(f"steady: {dt:.2f}s per 2^{LOG_N} MSM -> {pts_per_s:,.0f} points/s")
 
+    # measured single-core CPU baseline: this repo's native C++ Pippenger
+    # (the websnark-class engine), same points/scalars, ZKH_THREADS=1
+    baseline = None
+    from zkrollup.native import engine
+    if engine.available():
+        os.environ["ZKH_THREADS"] = "1"
+        tbl = engine.pack_g1_table_mont((x, y, inf))
+        sc_b = engine.ints_to_fr_bytes(scalars)
+        t0 = time.time()
+        engine.g1_msm_pip(tbl, sc_b, n)
+        cpu_dt = time.time() - t0
+        os.environ.pop("ZKH_THREADS", None)
+        baseline = n / cpu_dt
+        log(f"cpu 1-core baseline: {cpu_dt:.2f}s -> {baseline:,.0f} pts/s")
+
+    extra["bn254_g1_msm_points_per_s"] = {
+        "value": round(pts_per_s, 1),
+        "unit": f"points/s (2^{LOG_N} MSM, {variant}, 1 chip)",
+        "cpu_1core_baseline": round(baseline, 1) if baseline else None,
+    }
+    return pts_per_s, baseline
+
+
+def bench_ntt(extra):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from zkrollup.fields.mont import FR
+    from zkrollup.ntt.ntt import ntt_mont
+
+    log_n = int(os.environ.get("BENCH_NTT_LOG_N", "20"))
+    n = 1 << log_n
+    rng = np.random.RandomState(0)
+    vals = [int(v) for v in rng.randint(1, 1 << 62, size=n)]
+    a = jnp.asarray(FR.to_mont_host(vals))
+    f = jax.jit(lambda v: ntt_mont(v))
+    compile_s, dt = _timeit(lambda: f(a))
+    log(f"ntt 2^{log_n}: compile {compile_s:.1f}s steady {dt * 1000:.1f}ms "
+        f"-> {n / dt:,.0f} elements/s")
+    extra["ntt_elements_per_s"] = {
+        "value": round(n / dt, 1),
+        "unit": f"elements/s (2^{log_n}-point Fr NTT, 1 chip)",
+        "transforms_per_s": round(1 / dt, 2),
+    }
+
+
+def bench_mimc(extra):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from zkrollup.fields.mont import FR
+    from zkrollup.hash import mimc_jax
+
+    log_p = int(os.environ.get("BENCH_MIMC_LOG_PAIRS", "17"))
+    n_pairs = 1 << log_p
+    rng = np.random.RandomState(1)
+    vals = [int(v) for v in rng.randint(1, 1 << 62, size=2 * n_pairs)]
+    nodes = jnp.asarray(FR.to_mont_host(vals))
+    f = jax.jit(mimc_jax.merkle_level_up)
+    compile_s, dt = _timeit(lambda: f(nodes))
+    log(f"mimc 2^{log_p} pair-hashes: compile {compile_s:.1f}s "
+        f"steady {dt * 1000:.1f}ms -> {n_pairs / dt:,.0f} hashes/s")
+    extra["mimc_hashes_per_s"] = {
+        "value": round(n_pairs / dt, 1),
+        "unit": f"MiMCSponge pair hashes/s (batch 2^{log_p}, 1 chip)",
+    }
+
+
+def bench_proofs(extra):
+    """Config 4: flagship BatchProcessTx(2,6) proofs/s with witness/prove/
+    verify split. Host engine always (the operator-grade CPU number);
+    device pipeline when BENCH_DEVICE_PROVE=1."""
+    from zkrollup.config import RollupConfig
+    from zkrollup.operator.prover import TxProver
+    from zkrollup.ref import eddsa
+    from zkrollup.tree.merkle import MerkleTree
+    from zkrollup.witness.assembler import (Transaction, format_tx,
+                                            hash_balance_tree_leaf,
+                                            assemble_batch_inputs)
+    from zkrollup.r1cs.circuits import synthesize_batch_process_tx
+    from zkrollup.groth16.prove import prove
+    from zkrollup.groth16.verify import verify
+    from zkrollup.native import engine
+
+    cfg = RollupConfig()
+    key_path = os.path.expanduser(
+        f"~/.cache/zkrollup/tx_{cfg.batch_size}_{cfg.tree_depth}.npz")
+    os.makedirs(os.path.dirname(key_path), exist_ok=True)
+    p = TxProver(cfg, key_path=key_path, setup_seed=b"bench")
+    t0 = time.time()
+    pk = p.ensure_keys()
+    log(f"proof keys ready in {time.time() - t0:.1f}s "
+        f"(domain {pk.domain_size})")
+
+    priv_a, priv_b = 12345, 67890
+    pub_a, pub_b = eddsa.gen_public_key(priv_a), eddsa.gen_public_key(priv_b)
+    tree = MerkleTree(cfg.tree_depth)
+    for pub in (pub_a, pub_b):
+        raw = {"publicKey": pub, "balance": 10 ** 18, "nonce": 0}
+        tree.insert_(hash_balance_tree_leaf(raw), raw)
+    txs = []
+    for nonce, amt in ((1, 10 ** 17), (2, 2 * 10 ** 17)):
+        tx = Transaction(0, 1, amt, amt // 1000 * 3, nonce)
+        tx.signature = eddsa.sign(priv_a, format_tx(tx))
+        txs.append(tx)
+
+    t0 = time.time()
+    inputs, _ = assemble_batch_inputs(tree, txs)
+    res = synthesize_batch_process_tx(inputs, cfg.batch_size, cfg.tree_depth)
+    witness_s = time.time() - t0
+
+    entry = {"witness_s": round(witness_s, 2)}
+    if engine.available():
+        t0 = time.time()
+        proof = prove(pk, res.r1cs, res.witness, backend="host")
+        host_prove_s = time.time() - t0
+        t0 = time.time()
+        assert verify(pk.vk, proof, res.public_signals)
+        verify_s = time.time() - t0
+        total = witness_s + host_prove_s + verify_s
+        log(f"host prove {host_prove_s:.2f}s verify {verify_s:.2f}s "
+            f"witness {witness_s:.2f}s -> {1 / total:.3f} proofs/s")
+        entry.update({
+            "host_prove_s": round(host_prove_s, 2),
+            "verify_s": round(verify_s, 3),
+            "host_proofs_per_s": round(1 / total, 4),
+        })
+    if os.environ.get("BENCH_DEVICE_PROVE", "0") == "1":
+        def run():
+            return prove(pk, res.r1cs, res.witness, backend="device")
+        t0 = time.time()
+        proof = run()
+        compile_s = time.time() - t0
+        t0 = time.time()
+        proof = run()
+        dev_prove_s = time.time() - t0
+        assert verify(pk.vk, proof, res.public_signals)
+        total = witness_s + dev_prove_s
+        log(f"device prove: compile+first {compile_s:.1f}s "
+            f"steady {dev_prove_s:.2f}s -> {1 / total:.3f} proofs/s")
+        entry.update({
+            "device_prove_s": round(dev_prove_s, 2),
+            "device_proofs_per_s": round(1 / total, 4),
+        })
+    entry["unit"] = ("proofs/s, BatchProcessTx(2,6) incl. witness "
+                     "synthesis + self-verify")
+    extra["groth16_proofs_per_s"] = entry
+
+
+def bench_scaling_model(extra):
+    """Config 5 model: communication volume of the sharded MSM + four-step
+    NTT on a D-device mesh. Virtual-CPU wall-clock is meaningless, so emit
+    the collective count/bytes that set the scaling ceiling: compute grows
+    ~n/D per chip while the MSM all_gather stays O(D * point) and the NTT
+    moves each element through exactly ONE all_to_all."""
+    d = int(os.environ.get("BENCH_SCALING_DEVICES", "8"))
+    n = 1 << LOG_N
+    limb_bytes = 16 * 4
+    jac_point_bytes = 3 * limb_bytes
+    msm_allgather_bytes = d * jac_point_bytes          # D partials
+    ntt_all_to_all_bytes = n * limb_bytes              # one relayout
+    per_chip_work = n // d
+    # comm/compute ratio per chip, using measured single-chip points/s as
+    # the compute rate and ICI-class bandwidth (~100 GB/s) as the link
+    msm_entry = extra.get("bn254_g1_msm_points_per_s") or {}
+    chip_rate = msm_entry.get("value") or 0
+    t_compute = per_chip_work / chip_rate if chip_rate else None
+    t_comm = msm_allgather_bytes / 100e9
+    eff = (t_compute / (t_compute + t_comm)) if t_compute else None
+    extra["msm_scaling_model"] = {
+        "devices": d,
+        "msm_allgather_bytes": msm_allgather_bytes,
+        "msm_collectives": 1,
+        "ntt_all_to_all_bytes": ntt_all_to_all_bytes,
+        "ntt_collectives_per_transform": 1,
+        "modeled_efficiency_at_d": round(eff, 6) if eff else None,
+        "note": ("sharded MSM moves D Jacobian partials once; modeled "
+                 "efficiency >=0.999 at D=8 since comm is O(D) while "
+                 "compute is O(n/D); virtual-CPU wall-clock not meaningful "
+                 "(BASELINE config 5 target >=0.80)"),
+    }
+
+
+def main():
+    import jax
+    if jax.default_backend() not in ("cpu",):
+        # persistent compile cache: the MSM graph takes minutes to compile
+        # on a fresh process; cached reruns skip it. (Not on CPU: serializing
+        # the big CPU executables segfaults this jaxlib — tests/conftest.)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/zkrollup/jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    log(f"devices: {jax.devices()}")
+
+    extra = {}
+    pts_per_s, baseline = bench_msm(extra)
+    for fn in (bench_ntt, bench_mimc, bench_proofs, bench_scaling_model):
+        try:
+            fn(extra)
+        except Exception as e:  # an extra metric must not kill the headline
+            log(f"extra metric {fn.__name__} failed: {e!r}")
+    with open(EXTRA_PATH, "w") as f:
+        json.dump(extra, f, indent=1)
+    log(f"extra metrics -> {EXTRA_PATH}")
+
+    vs = round(pts_per_s / baseline, 2) if baseline else None
     print(json.dumps({
         "metric": "bn254_g1_msm_points_per_s",
         "value": round(pts_per_s, 1),
-        "unit": f"points/s (2^{LOG_N} MSM, {variant}, 1 chip)",
-        "vs_baseline": round(pts_per_s / BASELINE_MSM_POINTS_PER_S, 2),
+        "unit": (f"points/s (2^{LOG_N} MSM, window c={MSM_WINDOW}, 1 chip; "
+                 "baseline = same MSM on this repo's native C++ Pippenger, "
+                 "1 CPU core, measured)"),
+        "vs_baseline": vs,
     }))
 
 

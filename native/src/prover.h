@@ -13,6 +13,7 @@
 
 #include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -185,6 +186,12 @@ inline Jac msm_pippenger(const Aff *pts, const uint8_t *scalars, size_t n,
 
   unsigned hw = std::thread::hardware_concurrency();
   int n_threads = (int)(hw ? hw : 4);
+  // ZKH_THREADS pins the pool (bench.py measures the single-core
+  // "websnark-class CPU" baseline with ZKH_THREADS=1)
+  if (const char *env = std::getenv("ZKH_THREADS")) {
+    int v = std::atoi(env);
+    if (v > 0) n_threads = v;
+  }
   if (n_threads > W) n_threads = W;
   std::atomic<int> next{0};
   auto work = [&]() {

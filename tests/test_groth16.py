@@ -183,3 +183,22 @@ class TestWithdrawCircuit:
         proof, pub = wproof
         other = eddsa.gen_public_key(999)
         assert not verify(wpk.vk, proof, [other[0], other[1], pub[2]])
+
+
+class TestBackendParity:
+    """prove() runs on three engines — JAX device pipeline, native host
+    engine, distributed mesh — which must produce IDENTICAL proofs with
+    pinned (r, s). (auto-dispatch picks host on the CPU backend, so the
+    device pipeline needs explicit coverage here.)"""
+
+    def test_host_and_device_bit_identical(self, cubic_pk):
+        bld = cubic_builder()
+        p_dev = prove(cubic_pk, bld.r1cs(), bld.witness(), r=7, s=9,
+                      backend="device")
+        from zkrollup.native import engine
+        if not engine.available():
+            pytest.skip("libzkhost not built")
+        p_host = prove(cubic_pk, bld.r1cs(), bld.witness(), r=7, s=9,
+                       backend="host")
+        assert (p_dev.a, p_dev.b, p_dev.c) == (p_host.a, p_host.b, p_host.c)
+        assert verify(cubic_pk.vk, p_dev, bld.public_signals())

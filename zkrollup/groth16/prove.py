@@ -307,16 +307,28 @@ def prove(pk: ProvingKey, r1cs, witness: List[int],
     zinv_mont = FR.const_mont(pow(z_coset, FR_MOD - 2, FR_MOD))
     h_plain = _quotient_plain(a_e, b_e, c_e, zinv_mont)  # (m, 16)
 
-    # 3: the five multiexponentiations. G1 tables run the GLV path (half
-    # the windows; msm/glv.py) with canonical-limb scalars — no python-int
-    # round trip; G2 stays 256-bit.
+    # 3: the five multiexponentiations. Plain 256-bit Pippenger by default:
+    # chip-measured FASTER than GLV on the sort-based run-merge design
+    # (bucket adds are W*n either way, so halved windows buy only the small
+    # reduction scan while paying host decompose + double-width gathers —
+    # 80.7k vs 69.1k pts/s at 2^17/c=10, round-4 bench matrix).
+    # ZKROLLUP_PROVE_GLV=1 re-enables the endomorphism path.
+    use_glv = os.environ.get("ZKROLLUP_PROVE_GLV", "0") == "1"
     w_np = np.asarray(w_plain)
     h_np = np.asarray(h_plain)[:m - 1]
-    pi_a_msm = _g1_result(msm_glv(pk.a_g1, w_np, c=MSM_WINDOW))
-    pi_b1_msm = _g1_result(msm_glv(pk.b1_g1, w_np, c=MSM_WINDOW))
-    pi_c_msm = _g1_result(msm_glv(pk.c_g1, w_np[pk.n_public:],
-                                  c=MSM_WINDOW))
-    pi_h_msm = _g1_result(msm_glv(pk.h_g1, h_np, c=MSM_WINDOW))
+    if use_glv:
+        pi_a_msm = _g1_result(msm_glv(pk.a_g1, w_np, c=MSM_WINDOW))
+        pi_b1_msm = _g1_result(msm_glv(pk.b1_g1, w_np, c=MSM_WINDOW))
+        pi_c_msm = _g1_result(msm_glv(pk.c_g1, w_np[pk.n_public:],
+                                      c=MSM_WINDOW))
+        pi_h_msm = _g1_result(msm_glv(pk.h_g1, h_np, c=MSM_WINDOW))
+    else:
+        as_dev = lambda t: tuple(jnp.asarray(a) for a in t)
+        pi_a_msm = _g1_result(_msm_g1(as_dev(pk.a_g1), jnp.asarray(w_np)))
+        pi_b1_msm = _g1_result(_msm_g1(as_dev(pk.b1_g1), jnp.asarray(w_np)))
+        pi_c_msm = _g1_result(_msm_g1(as_dev(pk.c_g1),
+                                      jnp.asarray(w_np[pk.n_public:])))
+        pi_h_msm = _g1_result(_msm_g1(as_dev(pk.h_g1), jnp.asarray(h_np)))
     (bx0, bx1), (by0, by1), binf = pk.b2_g2
     b2_dev = ((jnp.asarray(bx0), jnp.asarray(bx1)),
               (jnp.asarray(by0), jnp.asarray(by1)), jnp.asarray(binf))

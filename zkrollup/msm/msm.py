@@ -78,10 +78,12 @@ def _interleave_axis1(a, b):
             l.shape[:1] + (l.shape[1] * 2,) + l.shape[2:]), a, b)
 
 
-def _excl_prefix_scan_axis1(curve, pts):
+def _excl_prefix_scan_axis1(curve, pts, return_total=False):
     """Work-efficient (Blelloch) EXCLUSIVE prefix point-sum along axis 1 of
     (W, B, ...) leaves: 2(B-1) adds per window vs B*log B for Hillis-Steele.
-    Point addition is abelian, so the up/down-sweep restructuring is valid."""
+    Point addition is abelian, so the up/down-sweep restructuring is valid.
+    With return_total, also returns the per-window full sum (the up-sweep
+    root, free)."""
     levels = []
     cur = pts
     while jax.tree_util.tree_leaves(cur)[0].shape[1] > 1:
@@ -89,12 +91,15 @@ def _excl_prefix_scan_axis1(curve, pts):
         cur = _add_2d(curve,
                       _tree(lambda a: a[:, 0::2], cur),
                       _tree(lambda a: a[:, 1::2], cur))
+    total = _tree(lambda a: a[:, 0], cur)
     w = jax.tree_util.tree_leaves(cur)[0].shape[0]
     excl = curve.infinity((w, 1))
     for lvl in reversed(levels):
         left = _tree(lambda a: a[:, 0::2], lvl)
         excl_r = _add_2d(curve, excl, left)
         excl = _interleave_axis1(excl, excl_r)
+    if return_total:
+        return excl, total
     return excl
 
 
@@ -108,19 +113,78 @@ def _reduce_axis1(curve, pts):
     return _tree(lambda a: a[:, 0], cur)
 
 
-# Merge-tree strategy:
-#   "affine"    all-affine nodes, one shared batched inversion per level
-#               (~6-7 field muls per add) computed with generic field ops
-#   "jacobian"  branch-free Jacobian adds through the fused Pallas kernels
-#               (more muls, but the whole add runs VMEM-resident — wins
-#               when per-op dispatch/HBM dominates, i.e. current TPU path)
-# Differentially equal; benchmarked per backend.
-_TREE_MODE = os.environ.get("ZKROLLUP_MSM_TREE", "jacobian")
-if _TREE_MODE not in ("affine", "jacobian"):
+# Bucket-phase strategy:
+#   "scan"      scatter-free Abel summation (default): suffix prefix-scan
+#               of the sorted points + boundary gather — see
+#               _flat_window_sums_scan. Chip-measured fastest: TPU scatter
+#               lowers to sequential updates, so the banked designs below
+#               pay ~1s/2^17 in scatter traffic the scan avoids.
+#   "jacobian"  run-merge tree, branch-free Jacobian adds through the
+#               fused Pallas kernels, scatter-banked buckets
+#   "affine"    run-merge tree, all-affine nodes sharing one batched
+#               inversion per level (fewest muls; loses on TPU to kernel
+#               fusion + scatter costs)
+# Differentially equal; benchmarked per backend (tools/profile_msm.py).
+_TREE_MODE = os.environ.get("ZKROLLUP_MSM_TREE", "scan")
+if _TREE_MODE not in ("scan", "affine", "jacobian"):
     raise ValueError(
-        f"ZKROLLUP_MSM_TREE={_TREE_MODE!r}: must be 'affine' or 'jacobian'. "
-        "Read once at import (jit-cached programs bake the choice in); set "
-        "it before importing zkrollup.")
+        f"ZKROLLUP_MSM_TREE={_TREE_MODE!r}: must be 'scan', 'affine' or "
+        "'jacobian'. Read once at import (jit-cached programs bake the "
+        "choice in); set it before importing zkrollup.")
+
+
+def _flat_window_sums_scan(curve: JacobianCurve, digits, xy, inf, c: int):
+    """Scatter-free window sums via Abel summation over sorted digits.
+
+        sum_i d_i*P_i  =  sum_{t=1}^{B-1}  T_t,   T_t = sum_{i: d_i >= t} P_i
+
+    With each window's points sorted ascending by digit, every T_t is a
+    single node of the suffix prefix-sum: T_t = R_{j_t} where j_t is the
+    first sorted position with digit >= t (a searchsorted, no point math).
+    Pipeline: one batched row-sort + gather, one work-efficient Blelloch
+    scan along the sorted axis (2n adds/window), a (W, B-1) gather of scan
+    nodes, and a log-depth reduction (B adds/window). No scatters at all —
+    XLA:TPU lowers data-dependent scatter to sequential updates, which is
+    where the banked run-merge tree spent most of its time (~1s per 2^17
+    MSM measured; tools/profile_msm.py)."""
+    W, n = digits.shape
+    B = 1 << c
+    F = curve.F
+
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (W, n))
+    d_sorted, perm = jax.lax.sort((digits, iota), dimension=1, num_keys=1)
+    idx = perm.reshape(-1)
+    p_xy = _tree(lambda a: jnp.take(a, idx, axis=0), xy)
+    inf_f = jnp.take(inf, idx, axis=0)
+    bshape = F.batch_shape(p_xy[0])
+    z = F.select(inf_f, F.zeros(bshape), F.one(bshape))
+    p = _tree(lambda a: a.reshape((W, n) + a.shape[1:]),
+              (p_xy[0], p_xy[1], z))
+
+    # exclusive suffix sums: reverse + exclusive prefix scan; the up-sweep
+    # root is the per-window total (j == 0 case) for free
+    rev = _tree(lambda a: jnp.flip(a, axis=1), p)
+    excl_rev, total = _excl_prefix_scan_axis1(curve, rev, return_total=True)
+
+    # j_t = searchsorted(row, t): inclusive suffix R_{j} = excl_rev[n - j];
+    # n - j == 0 -> no elements (infinity), n - j == n -> every element
+    ts = jnp.arange(1, B, dtype=d_sorted.dtype)
+    j = jax.vmap(lambda row: jnp.searchsorted(row, ts))(d_sorted)
+    i_idx = (n - j).astype(jnp.int32)                  # (W, B-1)
+    rows = jnp.arange(W, dtype=jnp.int32)[:, None]
+    safe = jnp.clip(i_idx, 0, n - 1)
+    gathered = _tree(lambda a: a[rows, safe], excl_rev)
+    total_b = _tree(
+        lambda a: jnp.broadcast_to(a[:, None],
+                                   (W, B - 1) + a.shape[1:]), total)
+    sel = curve.select((i_idx == n)[..., None], total_b, gathered)
+    sel = curve.select((i_idx == 0)[..., None], curve.infinity((W, B - 1)),
+                       sel)
+    # pad the B-1 thresholds to B (power of two) and reduce per window
+    padded = jax.tree_util.tree_map(
+        lambda a, i: jnp.concatenate([a, i], axis=1), sel,
+        curve.infinity((W, 1)))
+    return _reduce_axis1(curve, padded)
 
 
 def _flat_window_sums(curve: JacobianCurve, digits, xy, inf, c: int):
@@ -140,6 +204,9 @@ def _flat_window_sums(curve: JacobianCurve, digits, xy, inf, c: int):
     (window boundaries align with node boundaries by construction), whose
     leftover runs are banked vectorized.
     """
+    if _TREE_MODE == "scan":
+        return _flat_window_sums_scan(curve, digits, xy, inf, c)
+
     W, n = digits.shape
     assert n & (n - 1) == 0, "msm: pad point count to a power of two"
     log_n = n.bit_length() - 1

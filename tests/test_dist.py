@@ -18,6 +18,8 @@ from zkrollup.ntt.ntt import (ntt_mont, intt_mont, coset_ntt_mont,
 from zkrollup.curve import g1_jax, g2_jax
 from zkrollup.ref import bn254 as ref
 
+pytestmark = pytest.mark.slow  # compile-heavy JAX kernel tier (see pyproject markers)
+
 D = 8
 LOG_N = 8  # 256-point domain: L = 32, L % D == 0
 N = 1 << LOG_N

@@ -15,6 +15,8 @@ import pytest
 from zkrollup.fields import limbs as L
 from zkrollup.fields.mont import FR, FQ
 
+pytestmark = pytest.mark.slow  # compile-heavy JAX kernel tier (see pyproject markers)
+
 random.seed(42)
 
 

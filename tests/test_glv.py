@@ -13,6 +13,8 @@ from zkrollup.curve import g1_jax
 from zkrollup.ref import bn254 as ref
 from zkrollup.ref.bn254 import R as FR_MOD
 
+pytestmark = pytest.mark.slow  # compile-heavy JAX kernel tier (see pyproject markers)
+
 
 class TestDecompose:
     def test_identity_holds(self):

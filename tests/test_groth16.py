@@ -191,6 +191,7 @@ class TestBackendParity:
     pinned (r, s). (auto-dispatch picks host on the CPU backend, so the
     device pipeline needs explicit coverage here.)"""
 
+    @pytest.mark.slow
     def test_host_and_device_bit_identical(self, cubic_pk):
         bld = cubic_builder()
         p_dev = prove(cubic_pk, bld.r1cs(), bld.witness(), r=7, s=9,

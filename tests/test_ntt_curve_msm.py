@@ -21,6 +21,8 @@ from zkrollup.ntt.ntt import (ntt_ints, domain_root, coset_ntt_mont,
 from zkrollup.curve import g1_jax, g2_jax
 from zkrollup.msm.msm import msm, window_digits
 
+pytestmark = pytest.mark.slow  # compile-heavy JAX kernel tier (see pyproject markers)
+
 random.seed(23)
 
 

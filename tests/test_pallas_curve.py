@@ -14,6 +14,8 @@ from zkrollup.fields.mont import FQ
 from zkrollup.fields import limbs as L
 from zkrollup.ref import bn254 as ref
 
+pytestmark = pytest.mark.slow  # compile-heavy JAX kernel tier (see pyproject markers)
+
 
 def _points(n, seed=0, with_inf=True):
     rng = np.random.RandomState(seed)

@@ -77,10 +77,14 @@ class TxProver:
     def ensure_keys(self) -> ProvingKey:
         if self.pk is not None:
             return self.pk
-        if self.key_path and os.path.exists(self.key_path):
-            self.pk = ProvingKey.load(self.key_path)
-            return self.pk
         r1cs = self.structure().r1cs
+        if self.key_path and os.path.exists(self.key_path):
+            pk = ProvingKey.load(self.key_path)
+            # cached keys go stale when circuit synthesis changes shape
+            # (gadget rewrites move constraint/var counts): re-setup
+            if pk.n_vars == r1cs.n_vars and pk.n_public == r1cs.n_public:
+                self.pk = pk
+                return self.pk
         self.pk = setup(r1cs, seed=self.setup_seed)
         if self.key_path:
             self.pk.save(self.key_path)
@@ -121,10 +125,12 @@ class WithdrawProver:
     def ensure_keys(self) -> ProvingKey:
         if self.pk is not None:
             return self.pk
-        if self.key_path and os.path.exists(self.key_path):
-            self.pk = ProvingKey.load(self.key_path)
-            return self.pk
         r1cs = synthesize_withdraw(0, 0, check=False).r1cs
+        if self.key_path and os.path.exists(self.key_path):
+            pk = ProvingKey.load(self.key_path)
+            if pk.n_vars == r1cs.n_vars and pk.n_public == r1cs.n_public:
+                self.pk = pk
+                return self.pk
         self.pk = setup(r1cs, seed=self.setup_seed)
         if self.key_path:
             self.pk.save(self.key_path)

@@ -153,3 +153,20 @@ class TestDistributedProve:
         backend = "host" if engine.available() else "device"
         p_one = prove(pk, r1cs, witness, r=3, s=5, backend=backend)
         assert (p_dist.a, p_dist.b, p_dist.c) == (p_one.a, p_one.b, p_one.c)
+
+
+class TestMultiHost:
+    """Simulated multi-host: 2 controller processes over loopback through
+    dist/launch.py init_distributed (the jax.distributed path no
+    single-process test can reach)."""
+
+    def test_two_process_collectives(self):
+        import subprocess, sys, os
+        tool = os.path.join(os.path.dirname(__file__), "..", "tools",
+                            "multihost_sim.py")
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+        res = subprocess.run([sys.executable, tool], env=env,
+                             capture_output=True, text=True, timeout=500)
+        assert res.returncode == 0, res.stdout[-2000:]
+        assert "MULTIHOST OK" in res.stdout

@@ -41,15 +41,10 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dev") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
-def init_distributed(coordinator: Optional[str] = None,
-                     num_processes: Optional[int] = None,
-                     process_id: Optional[int] = None) -> None:
-    """Multi-host controller bring-up (jax.distributed). No-op when
-    single-process."""
-    if num_processes and num_processes > 1:
-        jax.distributed.initialize(coordinator_address=coordinator,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
+# re-export: real definition lives in launch.py, which is importable
+# BEFORE backend init (this module builds device constants at import —
+# too late to call jax.distributed.initialize)
+from .launch import init_distributed  # noqa: F401,E402
 
 
 # -- distributed MSM --------------------------------------------------------

@@ -74,28 +74,39 @@ def _spmv(row, var, coeff_mont, w_mont, m: int):
 @partial(jax.jit, static_argnames=("m",))
 def _abc_evals(coo_arrays, w_mont, m: int):
     (ar, av, ac), (br, bv, bc), (cr, cv, cc) = coo_arrays
-    return (_spmv(ar, av, ac, w_mont, m),
-            _spmv(br, bv, bc, w_mont, m),
-            _spmv(cr, cv, cc, w_mont, m))
+    with jax.named_scope("groth16.spmv_abc"):
+        return (_spmv(ar, av, ac, w_mont, m),
+                _spmv(br, bv, bc, w_mont, m),
+                _spmv(cr, cv, cc, w_mont, m))
 
 
 @jax.jit
 def _quotient_plain(a_e, b_e, c_e, zinv_mont):
     """Domain evaluations (mont) -> h coefficients in PLAIN form (MSM
-    scalar layout). Z(g*w^i) = g^m - 1 is constant on the coset."""
-    pa = intt_mont(a_e)
-    pb = intt_mont(b_e)
-    pc = intt_mont(c_e)
-    ca = coset_ntt_mont(pa)
-    cb = coset_ntt_mont(pb)
-    cc = coset_ntt_mont(pc)
-    h_cos = FR.mont_mul(FR.sub(FR.mont_mul(ca, cb), cc), zinv_mont)
-    h = coset_intt_mont(h_cos)
-    return FR.from_mont(h)
+    scalar layout). Z(g*w^i) = g^m - 1 is constant on the coset.
+    named_scope markers land in jax.profiler traces (tools/trace_prove.py
+    — the tracing obligation of SURVEY §5)."""
+    with jax.named_scope("groth16.quotient"):
+        pa = intt_mont(a_e)
+        pb = intt_mont(b_e)
+        pc = intt_mont(c_e)
+        ca = coset_ntt_mont(pa)
+        cb = coset_ntt_mont(pb)
+        cc = coset_ntt_mont(pc)
+        h_cos = FR.mont_mul(FR.sub(FR.mont_mul(ca, cb), cc), zinv_mont)
+        h = coset_intt_mont(h_cos)
+        return FR.from_mont(h)
 
 
-_msm_g1 = jax.jit(lambda pts, sc: msm(g1_jax.G1, pts, sc, c=MSM_WINDOW))
-_msm_g2 = jax.jit(lambda pts, sc: msm(g2_jax.G2, pts, sc, c=MSM_WINDOW))
+def _scoped_msm(curve, name):
+    def run(pts, sc):
+        with jax.named_scope(name):
+            return msm(curve, pts, sc, c=MSM_WINDOW)
+    return jax.jit(run)
+
+
+_msm_g1 = _scoped_msm(g1_jax.G1, "groth16.msm_g1")
+_msm_g2 = _scoped_msm(g2_jax.G2, "groth16.msm_g2")
 
 
 def _g1_result(jac) -> Optional[tuple]:

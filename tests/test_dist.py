@@ -170,3 +170,33 @@ class TestMultiHost:
                              capture_output=True, text=True, timeout=500)
         assert res.returncode == 0, res.stdout[-2000:]
         assert "MULTIHOST OK" in res.stdout
+
+
+class TestTableGroupProve:
+    """EP/PP axis: the five MSM tables scheduled onto DISJOINT chip groups
+    (4 groups x 2 devices on the virtual mesh) must reproduce the
+    whole-mesh proof bit-for-bit."""
+
+    def test_grouped_equals_whole_mesh(self):
+        from zkrollup.dist.mesh import make_mesh
+        from zkrollup.groth16.setup import setup
+        from zkrollup.groth16.prove import prove
+        from zkrollup.groth16.verify import verify
+        from zkrollup.r1cs.builder import Builder
+
+        bld = Builder(check=True)
+        out = bld.alloc_output_deferred()
+        x = bld.alloc_public_input(7)
+        t = x
+        for _ in range(40):
+            t = bld.mul(t, t) + x
+        bld.bind_output(out, t)
+        r1cs, witness = bld.r1cs(), bld.witness()
+        pk = setup(r1cs, seed=b"ep-prove")
+        mesh = make_mesh(8)
+
+        p_full = prove(pk, r1cs, witness, r=3, s=5, mesh=mesh)
+        p_grp = prove(pk, r1cs, witness, r=3, s=5, mesh=mesh,
+                      table_groups=4)
+        assert (p_full.a, p_full.b, p_full.c) == (p_grp.a, p_grp.b, p_grp.c)
+        assert verify(pk.vk, p_grp, bld.public_signals())

@@ -335,15 +335,45 @@ def sharded_quotient(mesh: Mesh, a_cyc, b_cyc, c_cyc, zinv_mont, log_m: int):
     return FR.from_mont(h)
 
 
+def submeshes(mesh: Mesh, n_groups: int):
+    """Split a 1-D mesh into n_groups disjoint sub-meshes (same axis
+    name). The EP/PP axis: heterogeneous MSM tables scheduled to disjoint
+    chip groups, dispatched asynchronously so their programs overlap
+    (SURVEY §2.5 EP row: 'heterogeneous MSM tables assigned to disjoint
+    chip groups')."""
+    devs = mesh.devices.reshape(-1)
+    assert len(devs) % n_groups == 0, "device count must split evenly"
+    per = len(devs) // n_groups
+    return [Mesh(devs[i * per:(i + 1) * per], mesh.axis_names)
+            for i in range(n_groups)]
+
+
 def distributed_prove_core(mesh: Mesh, a_cyc, b_cyc, c_cyc, zinv_mont,
-                           log_m: int, g1_tables, g2_table, c=8):
+                           log_m: int, g1_tables, g2_table, c=8,
+                           table_groups: int = 1):
     """One full distributed Groth16 compute step (the multi-chip training
     step analog): sharded quotient pipeline + the five sharded MSMs.
 
     g1_tables: dict name -> ((x, y, inf), scalars_blocked) for a/b1/c/h —
     h's scalars are the quotient output and are passed as None. Returns
-    (h_blocked, dict of Jacobian results)."""
+    (h_blocked, dict of Jacobian results).
+
+    table_groups > 1 splits the mesh into disjoint chip groups and
+    round-robins the five MSM tables across them: each group's program is
+    dispatched asynchronously (JAX dispatch is non-blocking), so table
+    MSMs execute CONCURRENTLY on their groups — the pipeline/expert axis
+    over the heterogeneous tables. Results are bit-identical to
+    table_groups=1."""
     h = sharded_quotient(mesh, a_cyc, b_cyc, c_cyc, zinv_mont, log_m)
+    if table_groups > 1:
+        groups = submeshes(mesh, table_groups)
+        jobs = list(g1_tables.items())
+        meshes = {name: groups[i % table_groups]
+                  for i, (name, _) in enumerate(jobs)}
+        g2_mesh = groups[len(jobs) % table_groups]
+    else:
+        meshes = {name: mesh for name in g1_tables}
+        g2_mesh = mesh
     results = {}
     for name, (pts, sc) in g1_tables.items():
         if sc is None:
@@ -358,8 +388,25 @@ def distributed_prove_core(mesh: Mesh, a_cyc, b_cyc, c_cyc, zinv_mont,
             sc_use = sc_use[:n_pts]
         else:
             sc_use = sc
-        results[name] = sharded_msm_g1(mesh, pts, sc_use, c=c)
+
+        def place(tree_like, m):
+            # arrays committed to the FULL mesh (e.g. the sharded h output)
+            # must be re-placed onto the group's devices
+            if m is mesh:
+                return tree_like
+            sh = NamedSharding(m, P(m.axis_names[0]))
+            return jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, sh), tree_like)
+
+        gm = meshes[name]
+        results[name] = sharded_msm_g1(gm, place(pts, gm),
+                                       place(sc_use, gm), c=c)
     if g2_table is not None:
         pts2, sc2 = g2_table
-        results["b2"] = sharded_msm_g2(mesh, pts2, sc2, c=c)
+        if g2_mesh is not mesh:
+            sh = NamedSharding(g2_mesh, P(g2_mesh.axis_names[0]))
+            pts2 = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, sh), pts2)
+            sc2 = jax.device_put(sc2, sh)
+        results["b2"] = sharded_msm_g2(g2_mesh, pts2, sc2, c=c)
     return h, results

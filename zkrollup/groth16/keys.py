@@ -13,6 +13,8 @@ inf (n, 1) bool. Packed G2 table: ((x0, x1), (y0, y1), inf) over Fq2.
 
 from __future__ import annotations
 
+import hashlib
+
 from dataclasses import dataclass
 from typing import List, Tuple
 
@@ -59,6 +61,7 @@ class ProvingKey:
     c_g1: Tuple     # (n_vars - n_public): ((beta A + alpha B + C)/delta) * G1
     h_g1: Tuple     # (domain_size - 1): (tau^j Z(tau)/delta) * G1
     vk: VerifyingKey
+    r1cs_digest: bytes = b""   # sha256 of the bound constraint system
 
     # -- persistence (npz; ints round-trip through 16-limb arrays) ----------
 
@@ -72,6 +75,8 @@ class ProvingKey:
             "meta": np.asarray(
                 [self.n_vars, self.n_public, self.domain_size], np.int64),
             "ic": _pts_to_arr(self.vk.ic),
+            "r1cs_digest": np.frombuffer(self.r1cs_digest or b"\0",
+                                         dtype=np.uint8).copy(),
         }
         for name, p in g1s.items():
             arrs[name] = _pts_to_arr([p])
@@ -90,6 +95,10 @@ class ProvingKey:
     def load(cls, path: str) -> "ProvingKey":
         z = np.load(path)
         n_vars, n_public, domain_size = (int(v) for v in z["meta"])
+        digest = (bytes(z["r1cs_digest"].tobytes())
+                  if "r1cs_digest" in z.files else b"")
+        if digest == b"\0":
+            digest = b""
         g1 = lambda k: _arr_to_pts(z[k])[0]
         g2 = lambda k: _arr_to_g2pts(z[k])[0]
         tbl = lambda k: (z[f"{k}_x"], z[f"{k}_y"], z[f"{k}_inf"])
@@ -104,7 +113,8 @@ class ProvingKey:
             a_g1=tbl("a_g1"), b1_g1=tbl("b1_g1"),
             b2_g2=((z["b2_x0"], z["b2_x1"]), (z["b2_y0"], z["b2_y1"]),
                    z["b2_inf"]),
-            c_g1=tbl("c_g1"), h_g1=tbl("h_g1"), vk=vk)
+            c_g1=tbl("c_g1"), h_g1=tbl("h_g1"), vk=vk,
+            r1cs_digest=digest)
 
 
 # -- int <-> array helpers (points as plain-int coords; None = infinity) -----
@@ -145,3 +155,20 @@ def _arr_to_g2pts(a) -> list:
         x0, x1, y0, y1, inf = vals[i:i + 5]
         out.append(None if inf else ((x0, x1), (y0, y1)))
     return out
+
+
+def r1cs_digest(r1cs) -> bytes:
+    """Structural fingerprint of a constraint system: setup binds keys to
+    the EXACT rows, so key caches must compare this — var/constraint
+    counts alone can collide across gadget rewrites (observed: a Feistel
+    gadget rework kept n_vars while moving coefficients)."""
+    h = hashlib.sha256()
+    h.update(f"{r1cs.n_vars},{r1cs.n_public},"
+             f"{r1cs.n_constraints}".encode())
+    for A, B, C in r1cs.constraints:
+        for mat in (A, B, C):
+            h.update(len(mat).to_bytes(4, "little"))
+            for k in sorted(mat):
+                h.update(int(k).to_bytes(4, "little"))
+                h.update(int(mat[k]).to_bytes(32, "little", signed=False))
+    return h.digest()

@@ -219,7 +219,8 @@ def _dist_tables(pk: ProvingKey, d: int):
 
 
 def _prove_distributed(pk: ProvingKey, coo, witness: List[int], r: int,
-                       s: int, mesh, c: Optional[int] = None) -> Proof:
+                       s: int, mesh, c: Optional[int] = None,
+                       table_groups: int = 1) -> Proof:
     """Multi-chip prove: sharded four-step quotient + the five sharded
     MSMs (dist/mesh.py distributed_prove_core) — SP over the NTT domain,
     DP/TP over the MSM tables. Bit-identical to the single-chip path with
@@ -254,7 +255,7 @@ def _prove_distributed(pk: ProvingKey, coo, witness: List[int], r: int,
         dmesh.cyclic_shard(c_e, d), zinv_mont, log_m,
         g1_tables={"a": (tbl["a"], w_sc), "b1": (tbl["b1"], w_sc),
                    "c": (tbl["c"], c_sc), "h": (tbl["h"], None)},
-        g2_table=(tbl["b2"], w_sc), c=c_eff)
+        g2_table=(tbl["b2"], w_sc), c=c_eff, table_groups=table_groups)
 
     return _blind_combine(
         pk, _g1_result(results["a"]), _g2_result(results["b2"]),
@@ -264,7 +265,8 @@ def _prove_distributed(pk: ProvingKey, coo, witness: List[int], r: int,
 
 def prove(pk: ProvingKey, r1cs, witness: List[int],
           r: Optional[int] = None, s: Optional[int] = None,
-          backend: Optional[str] = None, mesh=None) -> Proof:
+          backend: Optional[str] = None, mesh=None,
+          table_groups: int = 1) -> Proof:
     """Generate a Groth16 proof for `witness` (full assignment, var 0 = 1).
 
     backend: "device" (JAX/TPU pipeline), "host" (native C++ engine), or
@@ -273,7 +275,9 @@ def prove(pk: ProvingKey, r1cs, witness: List[int],
     fallback; ~50x faster than XLA:CPU on the 16-limb kernels).
 
     mesh: a jax.sharding.Mesh routes the quotient + all five MSMs through
-    the distributed pipeline (dist/mesh.py) — the multi-chip path."""
+    the distributed pipeline (dist/mesh.py) — the multi-chip path.
+    table_groups > 1 additionally schedules the five MSM tables onto
+    disjoint chip groups (the EP/PP axis); proof is identical."""
     if r1cs.n_vars != pk.n_vars or r1cs.n_public != pk.n_public:
         raise ValueError("proving key does not match this constraint system")
     if r is None:
@@ -285,7 +289,7 @@ def prove(pk: ProvingKey, r1cs, witness: List[int],
     if mesh is not None:
         assert coo.m == pk.domain_size, "key/domain mismatch"
         return _prove_distributed(pk, coo, [w % FR_MOD for w in witness],
-                                  r, s, mesh)
+                                  r, s, mesh, table_groups=table_groups)
     if backend is None:
         backend = os.environ.get("ZKROLLUP_PROVE_BACKEND", "auto")
     if backend == "auto":

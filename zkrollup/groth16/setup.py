@@ -21,7 +21,7 @@ from typing import List, Optional
 
 from ..ref import bn254 as ref
 from ..ref.bn254 import R as FR_MOD
-from .keys import ProvingKey, VerifyingKey
+from .keys import ProvingKey, VerifyingKey, r1cs_digest
 from .qap import eval_at_tau
 from ..msm.fixed_base import g1_points_from_scalars, g2_points_from_scalars
 
@@ -105,4 +105,5 @@ def setup(r1cs, seed: Optional[bytes] = None) -> ProvingKey:
         n_vars=nv, n_public=npub, domain_size=m,
         alpha1=g1m(alpha), beta1=g1m(beta), delta1=g1m(delta),
         beta2=g2m(beta), delta2=g2m(delta),
-        a_g1=a_g1, b1_g1=b1_g1, b2_g2=b2_g2, c_g1=c_g1, h_g1=h_g1, vk=vk)
+        a_g1=a_g1, b1_g1=b1_g1, b2_g2=b2_g2, c_g1=c_g1, h_g1=h_g1, vk=vk,
+        r1cs_digest=r1cs_digest(r1cs))

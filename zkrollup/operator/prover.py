@@ -19,7 +19,7 @@ from typing import Dict, List, Optional, Tuple
 
 from ..config import RollupConfig
 from ..r1cs.circuits import (synthesize_batch_process_tx, synthesize_withdraw)
-from ..groth16.keys import ProvingKey, Proof
+from ..groth16.keys import ProvingKey, Proof, r1cs_digest
 from ..groth16.setup import setup
 from ..groth16.prove import prove
 from ..groth16.verify import verify
@@ -80,9 +80,10 @@ class TxProver:
         r1cs = self.structure().r1cs
         if self.key_path and os.path.exists(self.key_path):
             pk = ProvingKey.load(self.key_path)
-            # cached keys go stale when circuit synthesis changes shape
-            # (gadget rewrites move constraint/var counts): re-setup
-            if pk.n_vars == r1cs.n_vars and pk.n_public == r1cs.n_public:
+            # cached keys go stale when circuit synthesis changes: compare
+            # the STRUCTURAL digest (counts can collide across gadget
+            # rewrites — the r4 Feistel rework kept n_vars)
+            if pk.r1cs_digest and pk.r1cs_digest == r1cs_digest(r1cs):
                 self.pk = pk
                 return self.pk
         self.pk = setup(r1cs, seed=self.setup_seed)
@@ -128,7 +129,7 @@ class WithdrawProver:
         r1cs = synthesize_withdraw(0, 0, check=False).r1cs
         if self.key_path and os.path.exists(self.key_path):
             pk = ProvingKey.load(self.key_path)
-            if pk.n_vars == r1cs.n_vars and pk.n_public == r1cs.n_public:
+            if pk.r1cs_digest and pk.r1cs_digest == r1cs_digest(r1cs):
                 self.pk = pk
                 return self.pk
         self.pk = setup(r1cs, seed=self.setup_seed)

@@ -347,3 +347,31 @@ class TestCLIService:
                 assert e.code == 400
         finally:
             server.shutdown()
+
+
+class TestDeploy:
+    """migrations/3_deploy_contracts.js parity: wiring + build artifacts."""
+
+    def test_deploy_writes_artifacts(self, tmp_path):
+        from zkrollup.chain.deploy import deploy, load_deployed_addresses
+        from zkrollup.groth16.setup import setup
+        from zkrollup.r1cs.builder import Builder
+        bld = Builder()
+        out = bld.alloc_output_deferred()
+        x = bld.alloc_public_input(3)
+        bld.bind_output(out, bld.mul(x, x))
+        vk = setup(bld.r1cs(), seed=b"deploy-test").vk
+
+        contract, addrs = deploy(CFG, tx_vk=vk, withdraw_vk=vk,
+                                 build_dir=str(tmp_path))
+        # same artifact keys the reference's env.ts reads
+        assert set(addrs) == {"balanceTreeAddress", "rollUpAddress",
+                              "withdrawVerifierAddress",
+                              "txVerifierAddress"}
+        assert load_deployed_addresses(str(tmp_path)) == addrs
+        src = (tmp_path / "TxVerifier.sol").read_text()
+        assert "contract TxVerifier" in src
+        assert (tmp_path / "WithdrawVerifier.sol").exists()
+        # the deployed contract is live (whitelisted tree, deposits work)
+        contract.deposit(PUB_A[0], PUB_A[1], WEI)
+        assert contract.get_user_key(0) != 0

@@ -112,7 +112,11 @@ def cmd_serve(args) -> int:
         wp = WithdrawProver(key_path=_withdraw_key_path(args),
                             setup_seed=b"demo" if args.deterministic else None)
         wvk = wp.ensure_keys().vk
-    contract = RollUpContract(load_config(), tx_vk=pk.vk, withdraw_vk=wvk)
+    from ..chain.deploy import deploy
+    contract, addrs = deploy(cfg, tx_vk=pk.vk, withdraw_vk=wvk,
+                             build_dir=args.build_dir)
+    if args.build_dir:
+        print(f"deploy artifacts written to {args.build_dir}")
     state = OperatorState(cfg)
     queue = TxQueue(args.queue_db or ":memory:")
     daemon = BatchDaemon(cfg, state, queue, tx_prover, contract)
@@ -337,6 +341,9 @@ def main(argv=None) -> int:
                    help="prove+settle automatically when a batch is full")
     s.add_argument("--no-withdraw-keys", action="store_true",
                    help="skip withdraw-circuit setup (faster boot)")
+    s.add_argument("--build-dir", default=None,
+                   help="write DeployedAddresses.json + regenerated "
+                        "Solidity verifiers here (migrations parity)")
 
     d = sub.add_parser("deposit", help="deposit ETH for a dev user")
     d.add_argument("--user", required=True, help="A or B")

@@ -68,16 +68,22 @@ class TxProver:
         self.pk: Optional[ProvingKey] = None
         self.setup_seed = setup_seed
         self.stats = ProveStats()
+        self._r1cs = None   # structure cache: circuits are static
 
     def structure(self):
         return synthesize_batch_process_tx(
             _dummy_tx_inputs(self.cfg.batch_size, self.cfg.tree_depth),
             self.cfg.batch_size, self.cfg.tree_depth, check=False)
 
+    def _structure_r1cs(self):
+        if self._r1cs is None:
+            self._r1cs = self.structure().r1cs
+        return self._r1cs
+
     def ensure_keys(self) -> ProvingKey:
         if self.pk is not None:
             return self.pk
-        r1cs = self.structure().r1cs
+        r1cs = self._structure_r1cs()
         if self.key_path and os.path.exists(self.key_path):
             pk = ProvingKey.load(self.key_path)
             # cached keys go stale when circuit synthesis changes: compare
@@ -99,12 +105,14 @@ class TxProver:
         pk = self.ensure_keys()
         t0 = time.time()
         inputs, final_tree = assemble_batch_inputs(tree, txs)
+        # witness-only replay: the R1CS is static and cached (to_coo cache
+        # included), so per-proof synthesis computes just the values
         res = synthesize_batch_process_tx(
-            inputs, self.cfg.batch_size, self.cfg.tree_depth)
+            inputs, self.cfg.batch_size, self.cfg.tree_depth, record=False)
         self.stats.witness_s = time.time() - t0
 
         t0 = time.time()
-        proof = prove(pk, res.r1cs, res.witness, r=r, s=s)
+        proof = prove(pk, self._structure_r1cs(), res.witness, r=r, s=s)
         self.stats.prove_s = time.time() - t0
 
         t0 = time.time()

@@ -105,17 +105,40 @@ class R1CS:
         return len(self.constraints)
 
 
+class _NullConstraintSink:
+    """list stand-in for witness-only synthesis: counts appends,
+    stores nothing."""
+
+    __slots__ = ("n",)
+
+    def __init__(self):
+        self.n = 0
+
+    def append(self, _row) -> None:
+        self.n += 1
+
+    def __len__(self) -> int:
+        return self.n
+
+
 class Builder:
     """Synthesis context: allocates variables, records constraints, and
     (when values are supplied) computes the witness alongside."""
 
-    def __init__(self, check: bool = True):
+    def __init__(self, check: bool = True, record: bool = True):
+        """record=False skips constraint recording: the WITNESS-ONLY
+        replay mode (circuits are static, so the R1CS from one structure
+        synthesis serves every proof — the witness calculator just needs
+        identical allocation order). self.constraints then behaves as a
+        sink that counts rows (cheap) so gadget row-index math stays
+        valid."""
         self.values: List[int] = [1]          # var 0 = ONE
-        self.constraints: List[Tuple[Dict, Dict, Dict]] = []
+        self.constraints = [] if record else _NullConstraintSink()
         self.n_outputs = 0
         self.n_public_inputs = 0
         self._io_frozen = False
         self.check = check
+        self.record = record
 
     # -- variable allocation ----------------------------------------------
 
@@ -229,6 +252,10 @@ class Builder:
     # -- finalize ----------------------------------------------------------
 
     def r1cs(self) -> R1CS:
+        if not self.record:
+            raise RuntimeError(
+                "witness-only synthesis (record=False) has no R1CS; "
+                "take it from a structure synthesis instead")
         return R1CS(n_vars=len(self.values), n_outputs=self.n_outputs,
                     n_public_inputs=self.n_public_inputs,
                     constraints=self.constraints)

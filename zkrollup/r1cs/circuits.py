@@ -109,14 +109,15 @@ class SynthesisResult:
 
 
 def synthesize_batch_process_tx(inputs: Dict, batch_size: int, depth: int,
-                                check: bool = True) -> SynthesisResult:
+                                check: bool = True,
+                                record: bool = True) -> SynthesisResult:
     """BatchProcessTx(batchSize, depth) (batchprocesstx.circom:3-75).
 
     `inputs` uses the exact key set the reference assembles in
     operator/__tests__/operatorLogic.test.ts:199-221 (ints, already hashed/
     signed). Public-signal layout = [newBalanceTreeRoot] + inputs in
     declaration order = 73 signals at (2, 6)."""
-    bld = Builder(check=check)
+    bld = Builder(check=check, record=record)
     b, d = batch_size, depth
 
     out_root = bld.alloc_output_deferred()

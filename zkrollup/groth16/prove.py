@@ -338,16 +338,37 @@ def prove(pk: ProvingKey, r1cs, witness: List[int],
                                       c=MSM_WINDOW))
         pi_h_msm = _g1_result(msm_glv(pk.h_g1, h_np, c=MSM_WINDOW))
     else:
-        as_dev = lambda t: tuple(jnp.asarray(a) for a in t)
-        pi_a_msm = _g1_result(_msm_g1(as_dev(pk.a_g1), jnp.asarray(w_np)))
-        pi_b1_msm = _g1_result(_msm_g1(as_dev(pk.b1_g1), jnp.asarray(w_np)))
-        pi_c_msm = _g1_result(_msm_g1(as_dev(pk.c_g1),
+        # key tables staged to device ONCE per key (tens of MB each — the
+        # H2D transfer is per-proof overhead otherwise)
+        dev = getattr(pk, "_dev_g1", None)
+        if dev is None:
+            as_dev = lambda t: tuple(jnp.asarray(a) for a in t)
+            dev = {"a": as_dev(pk.a_g1), "b1": as_dev(pk.b1_g1),
+                   "c": as_dev(pk.c_g1), "h": as_dev(pk.h_g1)}
+            object.__setattr__(pk, "_dev_g1", dev)
+        pi_a_msm = _g1_result(_msm_g1(dev["a"], jnp.asarray(w_np)))
+        pi_b1_msm = _g1_result(_msm_g1(dev["b1"], jnp.asarray(w_np)))
+        pi_c_msm = _g1_result(_msm_g1(dev["c"],
                                       jnp.asarray(w_np[pk.n_public:])))
-        pi_h_msm = _g1_result(_msm_g1(as_dev(pk.h_g1), jnp.asarray(h_np)))
-    (bx0, bx1), (by0, by1), binf = pk.b2_g2
-    b2_dev = ((jnp.asarray(bx0), jnp.asarray(bx1)),
-              (jnp.asarray(by0), jnp.asarray(by1)), jnp.asarray(binf))
-    pi_b_msm = _g2_result(_msm_g2(b2_dev, w_plain))
+        pi_h_msm = _g1_result(_msm_g1(dev["h"], jnp.asarray(h_np)))
+    # The single G2 MSM runs on the HOST engine when built: the Fq2 scan
+    # graph is compile-pathological on TPU (27 min at prove shapes, chip-
+    # measured) while the threaded native Pippenger does it in seconds;
+    # G1 — the bulk of the work — stays on device. Device fallback kept
+    # for environments without libzkhost.
+    from ..native import engine
+    if engine.available():
+        tbl = getattr(pk, "_host_b2", None)
+        if tbl is None:
+            tbl = engine.pack_g2_table_mont(pk.b2_g2)
+            object.__setattr__(pk, "_host_b2", tbl)
+        pi_b_msm = engine.g2_msm_pip(
+            tbl, engine.ints_to_fr_bytes(witness), pk.n_vars)
+    else:
+        (bx0, bx1), (by0, by1), binf = pk.b2_g2
+        b2_dev = ((jnp.asarray(bx0), jnp.asarray(bx1)),
+                  (jnp.asarray(by0), jnp.asarray(by1)), jnp.asarray(binf))
+        pi_b_msm = _g2_result(_msm_g2(b2_dev, w_plain))
 
     return _blind_combine(pk, pi_a_msm, pi_b_msm, pi_b1_msm, pi_c_msm,
                           pi_h_msm, r, s)

@@ -204,13 +204,16 @@ def bench_proofs(extra):
 
     t0 = time.time()
     inputs, _ = assemble_batch_inputs(tree, txs)
-    res = synthesize_batch_process_tx(inputs, cfg.batch_size, cfg.tree_depth)
+    # witness-only replay against the prover's cached structure R1CS
+    res = synthesize_batch_process_tx(inputs, cfg.batch_size,
+                                      cfg.tree_depth, record=False)
+    r1cs = p._structure_r1cs()
     witness_s = time.time() - t0
 
     entry = {"witness_s": round(witness_s, 2)}
     if engine.available():
         t0 = time.time()
-        proof = prove(pk, res.r1cs, res.witness, backend="host")
+        proof = prove(pk, r1cs, res.witness, backend="host")
         host_prove_s = time.time() - t0
         t0 = time.time()
         assert verify(pk.vk, proof, res.public_signals)
@@ -225,7 +228,7 @@ def bench_proofs(extra):
         })
     if os.environ.get("BENCH_DEVICE_PROVE", "0") == "1":
         def run():
-            return prove(pk, res.r1cs, res.witness, backend="device")
+            return prove(pk, r1cs, res.witness, backend="device")
         t0 = time.time()
         proof = run()
         compile_s = time.time() - t0

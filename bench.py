@@ -66,7 +66,7 @@ def bench_msm(extra):
     from zkrollup.ref import bn254 as ref
     from zkrollup.curve import g1_jax
     from zkrollup.fields import limbs as L
-    from zkrollup.msm.msm import msm
+    from zkrollup.msm.msm import msm_host_combine
     from zkrollup.msm import glv
 
     random.seed(1234)
@@ -85,11 +85,13 @@ def bench_msm(extra):
         variant = f"GLV, window c={MSM_WINDOW}"
     else:
         sc = jnp.asarray(sc_limbs)
-        f = jax.jit(partial(msm, g1_jax.G1, c=MSM_WINDOW))
 
         def run():
-            return f(pa, sc)
-        variant = f"window c={MSM_WINDOW}"
+            # scan window sums on device + host Horner (the production
+            # prover path; the on-device Horner is ~0.3s of batch-1
+            # kernel dispatch at this size)
+            return msm_host_combine(g1_jax.G1, pa, sc, c=MSM_WINDOW)
+        variant = f"window c={MSM_WINDOW}, host combine"
 
     compile_s, dt = _timeit(run)
     log(f"msm compile+first: {compile_s:.1f}s; steady {dt:.2f}s "

@@ -22,11 +22,13 @@ if "xla_backend_optimization_level" not in flags:
     flags += " --xla_backend_optimization_level=1"
 os.environ["XLA_FLAGS"] = flags.strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
-# Small Pippenger window for the prover paths: compile time scales with the
-# window (the bucket-reduction scan unrolls ~3c point-add bodies) and CPU
-# test circuits are tiny, so c=4 keeps prove() compiles fast; results are
-# window-independent (differentially asserted in tests/test_glv.py).
-os.environ.setdefault("ZKROLLUP_MSM_WINDOW", "4")
+# Prover Pippenger window for tests. With the scan bucket phase (msm.py
+# default) runtime scales with the WINDOW COUNT (W = 256/c) while compile
+# cost is roughly window-independent (Blelloch levels depend on n), so a
+# moderately large window is best on CPU too; c=8 halves the (2,6) device-
+# path work vs the old c=4. Results are window-independent (differentially
+# asserted in tests/test_glv.py).
+os.environ.setdefault("ZKROLLUP_MSM_WINDOW", "8")
 
 import jax  # noqa: E402
 

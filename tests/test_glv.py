@@ -102,3 +102,29 @@ class TestGlvMsm:
         affine = g1_jax.to_affine_host(
             tuple(np.asarray(x).reshape(1, L.N_LIMBS) for x in got))[0]
         assert affine == ref.g1_mul(ref.G1_GEN, 15)
+
+
+class TestHostCombineMsm:
+    def test_matches_device_msm(self):
+        # msm_host_combine (device window sums + host Horner) == msm()
+        import random
+        import jax.numpy as jnp
+        from zkrollup.ref import bn254 as ref
+        from zkrollup.curve import g1_jax
+        from zkrollup.fields import limbs as L
+        from zkrollup.msm.msm import msm, msm_host_combine
+        random.seed(21)
+        n = 32
+        pts = [ref.g1_mul(ref.G1_GEN, random.randrange(1, ref.R))
+               for _ in range(n)]
+        pts[5] = None
+        sc_int = [random.randrange(ref.R) for _ in range(n)]
+        sc_int[0] = 0
+        x, y, inf = g1_jax.pack_affine_host(pts)
+        pa = (jnp.asarray(x), jnp.asarray(y), jnp.asarray(inf))
+        sc = jnp.asarray(L.ints_to_limbs(sc_int))
+        a = msm_host_combine(g1_jax.G1, pa, sc, c=5)
+        b = msm(g1_jax.G1, pa, sc, c=5)
+        to_pt = lambda r: g1_jax.to_affine_host(
+            tuple(jnp.asarray(t).reshape(1, 16) for t in r))[0]
+        assert to_pt(a) == to_pt(b)

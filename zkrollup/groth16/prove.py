@@ -105,7 +105,14 @@ def _scoped_msm(curve, name):
     return jax.jit(run)
 
 
-_msm_g1 = _scoped_msm(g1_jax.G1, "groth16.msm_g1")
+def _msm_g1(pts, sc):
+    # device window sums + HOST Horner combine: the on-device combine is
+    # ~290 batch-1 kernels (~0.3s pure dispatch at prove sizes, chip-
+    # measured); host combine is <30ms of python-int point ops
+    from ..msm.msm import msm_host_combine
+    return msm_host_combine(g1_jax.G1, pts, sc, c=MSM_WINDOW)
+
+
 _msm_g2 = _scoped_msm(g2_jax.G2, "groth16.msm_g2")
 
 

@@ -434,3 +434,31 @@ def msm(curve: JacobianCurve, points_affine, scalars: jnp.ndarray,
 
     res = curve.infinity(())
     return jax.lax.fori_loop(0, n_windows, horner, res)
+
+
+_WS_JIT = {}
+
+
+def _window_sums_jit(curve):
+    """One cached jitted window_sums per curve object (JacobianCurve is an
+    unhashable dataclass, so it can't be a static arg — close over it)."""
+    f = _WS_JIT.get(id(curve))
+    if f is None:
+        f = jax.jit(partial(window_sums, curve),
+                    static_argnames=("c", "n_bits"))
+        _WS_JIT[id(curve)] = f
+    return f
+
+
+def msm_host_combine(curve: JacobianCurve, points_affine, scalars,
+                     c: int = 12, n_bits: int = 256):
+    """window_sums on device + Horner combine on the HOST (python-int
+    Jacobian ops). The device Horner is ~290 batch-1 kernels inside the
+    program — ~0.3s of pure dispatch at 2^17/c=12 on chip, vs <30ms on
+    host (same trade the GLV path uses). G1 only (host ops are ref.g1_*);
+    returns a device Jacobian point with (16,) leaves like msm()."""
+    from .glv import combine_window_sums_host
+    c = _clamp_window(c, scalars.shape[0])
+    wsum, _ = _window_sums_jit(curve)(tuple(points_affine), scalars,
+                                      c=c, n_bits=n_bits)
+    return combine_window_sums_host(wsum, c)

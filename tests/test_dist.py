@@ -18,7 +18,9 @@ from zkrollup.ntt.ntt import (ntt_mont, intt_mont, coset_ntt_mont,
 from zkrollup.curve import g1_jax, g2_jax
 from zkrollup.ref import bn254 as ref
 
-pytestmark = pytest.mark.slow  # compile-heavy JAX kernel tier (see pyproject markers)
+# shard_map/collective classes are compile-heavy (slow tier); TestRelayout
+# is a cheap smoke of the mesh plumbing and stays in the fast tier
+pytestmark_sharded = pytest.mark.slow
 
 D = 8
 LOG_N = 8  # 256-point domain: L = 32, L % D == 0
@@ -46,6 +48,7 @@ class TestRelayout:
         assert (np.asarray(cyc) == want).all()
 
 
+@pytestmark_sharded
 class TestShardedNtt:
     def test_forward_matches_single_device(self, mesh, x_mont):
         got = unblock(sharded_ntt(mesh, cyclic_shard(x_mont, D), LOG_N))
@@ -59,6 +62,7 @@ class TestShardedNtt:
         assert (np.asarray(unblock(back)) == np.asarray(x_mont)).all()
 
 
+@pytestmark_sharded
 class TestShardedMsm:
     def test_g1_matches_host(self, mesh):
         rng = np.random.RandomState(5)
@@ -94,6 +98,7 @@ class TestShardedMsm:
         assert got == want
 
 
+@pytestmark_sharded
 class TestShardedQuotient:
     def test_matches_single_device_pipeline(self, mesh):
         rng = np.random.RandomState(7)
@@ -119,6 +124,7 @@ class TestShardedQuotient:
         assert (np.asarray(unblock(got)) == np.asarray(want)).all()
 
 
+@pytestmark_sharded
 class TestDistributedProve:
     """prove(mesh=...) — the multi-chip prover entry (VERDICT r3 #6):
     sharded quotient + five sharded MSMs must yield the SAME proof as the
@@ -155,6 +161,7 @@ class TestDistributedProve:
         assert (p_dist.a, p_dist.b, p_dist.c) == (p_one.a, p_one.b, p_one.c)
 
 
+@pytestmark_sharded
 class TestMultiHost:
     """Simulated multi-host: 2 controller processes over loopback through
     dist/launch.py init_distributed (the jax.distributed path no
@@ -172,6 +179,7 @@ class TestMultiHost:
         assert "MULTIHOST OK" in res.stdout
 
 
+@pytestmark_sharded
 class TestTableGroupProve:
     """EP/PP axis: the five MSM tables scheduled onto DISJOINT chip groups
     (4 groups x 2 devices on the virtual mesh) must reproduce the

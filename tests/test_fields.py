@@ -15,8 +15,6 @@ import pytest
 from zkrollup.fields import limbs as L
 from zkrollup.fields.mont import FR, FQ
 
-pytestmark = pytest.mark.slow  # compile-heavy JAX kernel tier (see pyproject markers)
-
 random.seed(42)
 
 
@@ -55,6 +53,7 @@ class TestLimbs:
         assert list(bits) == [0, 0, 0, 0, 1, 0, 1, 1]
 
 
+@pytest.mark.slow  # compile-heavy: jits the 16-round CIOS graphs per field
 @pytest.mark.parametrize("F", [FR, FQ], ids=["fr", "fq"])
 class TestMontField:
     def test_mont_mul(self, F):

@@ -13,9 +13,6 @@ from zkrollup.curve import g1_jax
 from zkrollup.ref import bn254 as ref
 from zkrollup.ref.bn254 import R as FR_MOD
 
-pytestmark = pytest.mark.slow  # compile-heavy JAX kernel tier (see pyproject markers)
-
-
 class TestDecompose:
     def test_identity_holds(self):
         random.seed(1)
@@ -66,6 +63,7 @@ class TestNativeDecompose:
             assert abs(k2) < (1 << glv.GLV_BITS)
 
 
+@pytest.mark.slow  # compiles the full scan-MSM program
 class TestGlvMsm:
     def _setup(self, n, seed):
         rng = np.random.RandomState(seed)
@@ -104,6 +102,7 @@ class TestGlvMsm:
         assert affine == ref.g1_mul(ref.G1_GEN, 15)
 
 
+@pytest.mark.slow  # compiles the full scan-MSM program
 class TestHostCombineMsm:
     def test_matches_device_msm(self):
         # msm_host_combine (device window sums + host Horner) == msm()

@@ -21,8 +21,6 @@ from zkrollup.ntt.ntt import (ntt_ints, domain_root, coset_ntt_mont,
 from zkrollup.curve import g1_jax, g2_jax
 from zkrollup.msm.msm import msm, window_digits
 
-pytestmark = pytest.mark.slow  # compile-heavy JAX kernel tier (see pyproject markers)
-
 random.seed(23)
 
 
@@ -66,6 +64,7 @@ def _g1_batch(points):
     return g1_jax.pack_jacobian_host(points)
 
 
+@pytest.mark.slow  # compile-heavy curve kernel tier
 class TestG1:
     def test_add_special_cases(self):
         ks = [random.randrange(1, ref.R) for _ in range(4)]
@@ -100,6 +99,7 @@ class TestG1:
         assert got == [ref.g1_add(p, q) for p, q in zip(ps, qs)]
 
 
+@pytest.mark.slow  # compile-heavy curve kernel tier
 class TestG2:
     def test_add_double(self):
         ks = [random.randrange(1, ref.R) for _ in range(3)]
@@ -121,6 +121,7 @@ class TestMSM:
         assert digs[0] == 0x34 and digs[1] == 0x12
         assert digs[2] == 0xCD and digs[3] == 0xAB
 
+    @pytest.mark.slow  # compiles the full scan-MSM program
     def test_g1_msm_small(self):
         n = 32
         scalars = [random.randrange(ref.R) for _ in range(n - 3)] + [0, 1, ref.R - 1]

@@ -14,7 +14,9 @@ from zkrollup.fields.mont import FQ
 from zkrollup.fields import limbs as L
 from zkrollup.ref import bn254 as ref
 
-pytestmark = pytest.mark.slow  # compile-heavy JAX kernel tier (see pyproject markers)
+# the fused-kernel classes run the pallas kernels in interpret mode
+# (slow); TestDispatchGate is pure logic and stays in the fast tier
+pytestmark_fused = pytest.mark.slow
 
 
 def _points(n, seed=0, with_inf=True):
@@ -39,6 +41,7 @@ def _unpack(p):
 N = 16  # small; interpret mode is slow
 
 
+@pytestmark_fused
 class TestFusedAdd:
     def test_add_matches_generic(self):
         p = _jac(_points(N, seed=1))
@@ -75,6 +78,7 @@ class TestFusedAdd:
         assert _unpack(pallas_curve.g1_add(inf, inf)) == [None] * N
 
 
+@pytestmark_fused
 class TestFusedAddZ01:
     """Specialized leaf-level add: both inputs affine-or-infinity."""
 
@@ -125,6 +129,7 @@ class TestFusedAddZ01:
         assert got == want
 
 
+@pytestmark_fused
 class TestFusedDouble:
     def test_double_matches_host(self):
         pa = _points(N, seed=8, with_inf=False)

@@ -128,7 +128,11 @@ def cmd_serve(args) -> int:
         while True:
             time.sleep(1.0)
             if args.auto_batch:
-                app.post_prove_batch()
+                try:
+                    app.post_prove_batch()
+                except (RuntimeError, ValueError) as e:
+                    # keep serving: the batch stays queued for re-prove
+                    print(f"auto-batch step failed: {e}")
     except KeyboardInterrupt:
         server.shutdown()
     return 0

@@ -190,7 +190,10 @@ def _dist_tables(pk: ProvingKey, d: int):
     if d in cache:
         return cache[d]
     m = pk.domain_size
-    pad_to = max(m, -(-pk.n_vars // d) * d)
+    # round up to a multiple of d: the sharded MSM reshapes each table to
+    # (d, pad_to/d) blocks, so pad_to must divide evenly even when the NTT
+    # domain m is not a multiple of the mesh size (e.g. a 6-device mesh)
+    pad_to = -(-max(m, pk.n_vars) // d) * d
 
     def pad_inf(inf):
         inf = np.asarray(inf)

@@ -459,6 +459,10 @@ def msm_host_combine(curve: JacobianCurve, points_affine, scalars,
     returns a device Jacobian point with (16,) leaves like msm()."""
     from .glv import combine_window_sums_host
     c = _clamp_window(c, scalars.shape[0])
-    wsum, _ = _window_sums_jit(curve)(tuple(points_affine), scalars,
-                                      c=c, n_bits=n_bits)
+    # the scope wraps the (first-call) trace of the jitted window_sums, so
+    # G1 MSM kernel time attributes to this label in profiler traces
+    # (tools/trace_prove.py) — the prove path's dominant cost
+    with jax.named_scope("groth16.msm_g1"):
+        wsum, _ = _window_sums_jit(curve)(tuple(points_affine), scalars,
+                                          c=c, n_bits=n_bits)
     return combine_window_sums_host(wsum, c)

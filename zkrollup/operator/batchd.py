@@ -10,6 +10,7 @@ SURVEY §5 failure-handling obligation), metrics counters.
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Optional
@@ -57,10 +58,24 @@ class BatchDaemon:
         self.prover = prover
         self.contract = contract
         self.metrics = BatchMetrics()
+        # single-writer guard: step() is reachable both from the serve
+        # loop (--auto-batch) and from per-request /admin/prove-batch
+        # threads (ThreadingHTTPServer); without it two concurrent steps
+        # peek the same batch and double-submit/double-mark.
+        self._step_lock = threading.Lock()
 
     def step(self) -> bool:
         """Process one batch if enough txs are queued. Returns True if a
-        batch was submitted."""
+        batch was submitted. Non-blocking single-writer: if another step
+        is already in flight this call is a no-op returning False."""
+        if not self._step_lock.acquire(blocking=False):
+            return False
+        try:
+            return self._step_locked()
+        finally:
+            self._step_lock.release()
+
+    def _step_locked(self) -> bool:
         txs = self.queue.peek_batch(self.cfg.batch_size)
         if txs is None:
             return False

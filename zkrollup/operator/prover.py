@@ -49,6 +49,17 @@ def _dummy_tx_inputs(batch_size: int, depth: int) -> Dict:
     }
 
 
+def _warn_stale_key(path: str) -> None:
+    """A discarded cache is not silent: regeneration uses a fresh (random
+    unless --deterministic) toxic waste, so any verifier deployed from the
+    old key — or another process that already loaded the old file — now
+    rejects every proof from the new one."""
+    import sys
+    print(f"WARNING: cached proving key {path} has a stale R1CS digest; "
+          "regenerating. Verifiers deployed from the old key are now "
+          "invalid — redeploy them from the new VK.", file=sys.stderr)
+
+
 @dataclass
 class ProveStats:
     """Per-stage timings — the observability the reference lacks
@@ -92,6 +103,7 @@ class TxProver:
             if pk.r1cs_digest and pk.r1cs_digest == r1cs_digest(r1cs):
                 self.pk = pk
                 return self.pk
+            _warn_stale_key(self.key_path)
         self.pk = setup(r1cs, seed=self.setup_seed)
         if self.key_path:
             self.pk.save(self.key_path)
@@ -140,6 +152,7 @@ class WithdrawProver:
             if pk.r1cs_digest and pk.r1cs_digest == r1cs_digest(r1cs):
                 self.pk = pk
                 return self.pk
+            _warn_stale_key(self.key_path)
         self.pk = setup(r1cs, seed=self.setup_seed)
         if self.key_path:
             self.pk.save(self.key_path)

@@ -218,7 +218,7 @@ def make_http_server(app: OperatorApp, host: str = "127.0.0.1",
                 return
             try:
                 resp = handler(body)
-            except RuntimeError as e:
+            except (RuntimeError, ValueError) as e:
                 resp = {"error": str(e)}
             self._reply(resp, 400 if "error" in resp else 201)
 

@@ -15,9 +15,9 @@ next to this file:
   - ntt_elements_per_s            config 2, 2^20-point Fr NTT, TPU 1 chip
   - mimc_hashes_per_s             config 1, batched MiMCSponge pair-hash
   - groth16_proofs_per_s          config 4, flagship BatchProcessTx(2,6):
-        host-engine number always (operator-grade, 2 CPU cores); device
-        number when BENCH_DEVICE_PROVE=1 (first compile is slow; the
-        persistent cache makes reruns cheap)
+        device-pipeline number BY DEFAULT (BENCH_DEVICE_PROVE=0 skips;
+        the persistent cache makes reruns cheap) plus the host-engine
+        number (operator-grade, 2 CPU cores) as the measured baseline
   - msm_scaling_model             config 5: bytes moved / collective count
         for the sharded MSM on a D-device mesh (wall-clock on virtual CPU
         devices is meaningless; the model backs the >=80% target)
@@ -56,6 +56,26 @@ def _timeit(fn, reps=3):
     return compile_s, (time.time() - t0) / reps
 
 
+def _distinct_points(n, tag):
+    """n DISTINCT affine points (mont limbs), cached npz — the real
+    proving-key-table point distribution (VERDICT r4 weak #6; replaces the
+    64-points-tiled input of earlier rounds)."""
+    import numpy as np
+    cache = os.path.expanduser(f"~/.cache/zkrollup/msm_points_{tag}.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        if z["x"].shape[0] >= n:
+            return z["x"][:n], z["y"][:n], z["inf"][:n]
+    from zkrollup.msm.fixed_base import g1_points_from_scalars
+    rng = np.random.RandomState(42)
+    sc_vals = np.unique(rng.randint(1, 1 << 62, size=2 * n))[:n]
+    assert sc_vals.shape[0] == n
+    x, y, inf = g1_points_from_scalars([int(v) for v in sc_vals])
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    np.savez(cache, x=np.asarray(x), y=np.asarray(y), inf=np.asarray(inf))
+    return np.asarray(x), np.asarray(y), np.asarray(inf)
+
+
 def bench_msm(extra):
     import random
     import numpy as np
@@ -71,10 +91,7 @@ def bench_msm(extra):
 
     random.seed(1234)
     n = 1 << LOG_N
-    base = [ref.g1_mul(ref.G1_GEN, random.randrange(1, ref.R))
-            for _ in range(64)]
-    pts = base * (n // 64)
-    x, y, inf = g1_jax.pack_affine_host(pts)
+    x, y, inf = _distinct_points(n, str(LOG_N))
     pa = (jnp.asarray(x), jnp.asarray(y), jnp.asarray(inf))
     scalars = [random.randrange(ref.R) for _ in range(n)]
     sc_limbs = L.ints_to_limbs(scalars)
@@ -87,11 +104,12 @@ def bench_msm(extra):
         sc = jnp.asarray(sc_limbs)
 
         def run():
-            # scan window sums on device + host Horner (the production
-            # prover path; the on-device Horner is ~0.3s of batch-1
-            # kernel dispatch at this size)
-            return msm_host_combine(g1_jax.G1, pa, sc, c=MSM_WINDOW)
-        variant = f"window c={MSM_WINDOW}, host combine"
+            # chunked-scan window sums on device + host Horner (the
+            # production prover path); distinct=True as for real key
+            # tables (no-double-path kernels)
+            return msm_host_combine(g1_jax.G1, pa, sc, c=MSM_WINDOW,
+                                    distinct=True)
+        variant = f"chunked scan c={MSM_WINDOW}, host combine, distinct"
 
     compile_s, dt = _timeit(run)
     log(f"msm compile+first: {compile_s:.1f}s; steady {dt:.2f}s "
@@ -137,10 +155,23 @@ def bench_ntt(extra):
     compile_s, dt = _timeit(lambda: f(a))
     log(f"ntt 2^{log_n}: compile {compile_s:.1f}s steady {dt * 1000:.1f}ms "
         f"-> {n / dt:,.0f} elements/s")
+    baseline = None
+    from zkrollup.native import engine
+    if engine.available():
+        os.environ["ZKH_THREADS"] = "1"
+        data = engine.ints_to_fr_bytes(vals)
+        t0 = time.time()
+        engine.fr_ntt_bytes(data, n, False)
+        cpu_dt = time.time() - t0
+        os.environ.pop("ZKH_THREADS", None)
+        baseline = n / cpu_dt
+        log(f"ntt cpu 1-core baseline: {cpu_dt:.2f}s "
+            f"-> {baseline:,.0f} elements/s")
     extra["ntt_elements_per_s"] = {
         "value": round(n / dt, 1),
         "unit": f"elements/s (2^{log_n}-point Fr NTT, 1 chip)",
         "transforms_per_s": round(1 / dt, 2),
+        "cpu_1core_baseline": round(baseline, 1) if baseline else None,
     }
 
 
@@ -160,16 +191,30 @@ def bench_mimc(extra):
     compile_s, dt = _timeit(lambda: f(nodes))
     log(f"mimc 2^{log_p} pair-hashes: compile {compile_s:.1f}s "
         f"steady {dt * 1000:.1f}ms -> {n_pairs / dt:,.0f} hashes/s")
+    baseline = None
+    from zkrollup.native import engine
+    if engine.available():
+        os.environ["ZKH_THREADS"] = "1"
+        sub = min(n_pairs, 1 << 13)       # 1-core C++ is slow; subsample
+        rows = [[vals[2 * i], vals[2 * i + 1]] for i in range(sub)]
+        t0 = time.time()
+        engine.mimc_multi_hash_many(rows)
+        cpu_dt = time.time() - t0
+        os.environ.pop("ZKH_THREADS", None)
+        baseline = sub / cpu_dt
+        log(f"mimc cpu 1-core baseline: {baseline:,.0f} hashes/s "
+            f"(measured on {sub})")
     extra["mimc_hashes_per_s"] = {
         "value": round(n_pairs / dt, 1),
         "unit": f"MiMCSponge pair hashes/s (batch 2^{log_p}, 1 chip)",
+        "cpu_1core_baseline": round(baseline, 1) if baseline else None,
     }
 
 
 def bench_proofs(extra):
     """Config 4: flagship BatchProcessTx(2,6) proofs/s with witness/prove/
     verify split. Host engine always (the operator-grade CPU number);
-    device pipeline when BENCH_DEVICE_PROVE=1."""
+    device pipeline by default (BENCH_DEVICE_PROVE=0 to skip)."""
     from zkrollup.config import RollupConfig
     from zkrollup.operator.prover import TxProver
     from zkrollup.ref import eddsa
@@ -228,7 +273,7 @@ def bench_proofs(extra):
             "verify_s": round(verify_s, 3),
             "host_proofs_per_s": round(1 / total, 4),
         })
-    if os.environ.get("BENCH_DEVICE_PROVE", "0") == "1":
+    if os.environ.get("BENCH_DEVICE_PROVE", "1") == "1":
         def run():
             return prove(pk, r1cs, res.witness, backend="device")
         t0 = time.time()

@@ -178,6 +178,46 @@ class TestEndToEndRollup:
         assert verify(pk.vk, p_host, res.public_signals)
 
 
+class TestPipelinedDaemon:
+    """DP pipeline (VERDICT r4 #7): witness(i+1) overlapped with prove(i)
+    must settle multiple batches with the same post-state as sequential
+    stepping, strictly in order."""
+
+    def test_two_batches_pipelined(self, rollup_env):
+        contract, state, queue, daemon, app = rollup_env
+        contract.deposit(PUB_A[0], PUB_A[1], 2 * WEI)
+        contract.deposit(PUB_B[0], PUB_B[1], WEI)
+        app.sync_chain()
+        # four sends -> two batches; nonces chain across batches
+        _send(app, PRIV_A, 0, 1, _wei(10), _wei(1), 1)
+        _send(app, PRIV_A, 0, 1, _wei(10), _wei(1), 2)
+        _send(app, PRIV_A, 0, 1, _wei(10), _wei(1), 3)
+        _send(app, PRIV_A, 0, 1, _wei(10), _wei(1), 4)
+        assert queue.pending_count() == 4
+
+        done = daemon.run_pipeline(max_batches=2)
+        assert done == 2
+        assert queue.pending_count() == 0
+        assert daemon.metrics.batches_proven == 2
+        assert daemon.metrics.txs_processed == 4
+
+        a = contract.get_user_data(multi_hash(list(PUB_A)))
+        b = contract.get_user_data(multi_hash(list(PUB_B)))
+        # A: 2.0 - 4*(0.10+0.01) = 1.56, nonce 4; B: 1.0 + 0.40 = 1.40
+        assert a[3] == _wei(156) and a[4] == 4
+        assert b[3] == _wei(140)
+        assert contract.get_accrued_fees() == _wei(4)
+        assert state.load_tree().root == contract.balance_tree.get_root()
+
+    def test_pipeline_respects_step_lock(self, rollup_env):
+        contract, state, queue, daemon, app = rollup_env
+        assert daemon._step_lock.acquire(blocking=False)
+        try:
+            assert daemon.run_pipeline(max_batches=1) == 0
+        finally:
+            daemon._step_lock.release()
+
+
 def prover_stats_ok(daemon: BatchDaemon) -> bool:
     m = daemon.metrics
     return (m.batches_proven == 1 and m.txs_processed == 2

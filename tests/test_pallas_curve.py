@@ -142,8 +142,8 @@ class TestFusedDouble:
 
 class TestDispatchGate:
     def test_should_use_shapes(self):
-        big = tuple(jnp.zeros((pallas_curve.MIN_BATCH, L.N_LIMBS),
-                              jnp.uint32) for _ in range(3))
+        big = tuple(jnp.zeros((256, L.N_LIMBS), jnp.uint32)
+                    for _ in range(3))
         small = tuple(jnp.zeros((4, L.N_LIMBS), jnp.uint32)
                       for _ in range(3))
         # CPU backend -> auto mode refuses
@@ -153,10 +153,77 @@ class TestDispatchGate:
         pallas_curve._ENV = "1"
         try:
             assert pallas_curve.should_use(big, big)
-            assert not pallas_curve.should_use(small, small)
+            # MIN_BATCH = 1: even tiny batches take the fused kernel on
+            # TPU (one padded-tile launch beats a ~20k-HLO generic graph)
+            assert pallas_curve.should_use(small, small)
+            bad_rank = tuple(jnp.zeros((L.N_LIMBS,), jnp.uint32)
+                             for _ in range(3))
+            assert not pallas_curve.should_use(bad_rank, bad_rank)
             mismatched = tuple(
-                jnp.zeros((pallas_curve.MIN_BATCH * 2, L.N_LIMBS),
-                          jnp.uint32) for _ in range(3))
+                jnp.zeros((512, L.N_LIMBS), jnp.uint32) for _ in range(3))
             assert not pallas_curve.should_use(big, mismatched)
         finally:
             pallas_curve._ENV = old
+
+
+def _z01(pts):
+    """affine-or-infinity as (x, y, z) with z in {0, 1} exactly."""
+    return g1_jax.pack_jacobian_host(pts)
+
+
+@pytestmark_fused
+class TestFusedMixedAdd:
+    def test_madd_matches_host_ints(self):
+        pa = _points(N, seed=21)           # Jacobian side (incl. inf)
+        qa = _points(N, seed=22)           # affine side (incl. inf)
+        got = _unpack(pallas_curve.g1_madd(_jac(pa), _z01(qa)))
+        want = [ref.g1_add(a, b) for a, b in zip(pa, qa)]
+        assert got == want
+
+    def test_madd_double_path(self):
+        pa = _points(N, seed=23, with_inf=False)
+        got = _unpack(pallas_curve.g1_madd(_jac(pa), _z01(pa)))
+        assert got == [ref.g1_double(a) for a in pa]
+
+    def test_madd_nonunit_z_on_p(self):
+        # the Jacobian side with Z != 1: p = a + b (generic add), then
+        # madd(p, c) must equal a + b + c
+        pa = _points(N, seed=24, with_inf=False)
+        pb = _points(N, seed=25, with_inf=False)
+        pc = _points(N, seed=26)
+        p = G1.add(_jac(pa), _jac(pb))
+        got = _unpack(pallas_curve.g1_madd(p, _z01(pc)))
+        want = [ref.g1_add(ref.g1_add(a, b), c)
+                for a, b, c in zip(pa, pb, pc)]
+        assert got == want
+
+    def test_madd_nd_matches_on_distinct(self):
+        pa = _points(N, seed=27)
+        qa = _points(N, seed=28)
+        got = _unpack(pallas_curve.g1_madd_nd(_jac(pa), _z01(qa)))
+        want = [ref.g1_add(a, b) for a, b in zip(pa, qa)]
+        assert got == want
+
+    def test_madd_nd_inverse_gives_infinity(self):
+        pa = _points(N, seed=29, with_inf=False)
+        na = [ref.g1_neg(a) for a in pa]
+        got = _unpack(pallas_curve.g1_madd_nd(_jac(pa), _z01(na)))
+        assert got == [None] * N
+
+
+@pytestmark_fused
+class TestFusedAddNd:
+    def test_add_nd_matches_on_distinct(self):
+        pa = _points(N, seed=31)
+        qa = _points(N, seed=32)
+        got = _unpack(pallas_curve.g1_add_nd(_jac(pa), _jac(qa)))
+        want = [ref.g1_add(a, b) for a, b in zip(pa, qa)]
+        assert got == want
+
+    def test_add_nd_inverse_and_identity(self):
+        pa = _points(N, seed=33, with_inf=False)
+        na = [ref.g1_neg(a) for a in pa]
+        assert _unpack(pallas_curve.g1_add_nd(_jac(pa), _jac(na))) == [None] * N
+        inf = _jac([None] * N)
+        assert _unpack(pallas_curve.g1_add_nd(_jac(pa), inf)) == pa
+        assert _unpack(pallas_curve.g1_add_nd(inf, _jac(pa))) == pa

@@ -10,7 +10,7 @@ from ..fields import limbs as L, fq2
 from ..ref import bn254 as ref
 from .weierstrass import JacobianCurve, Fq2Ops
 
-G2 = JacobianCurve(Fq2Ops)
+G2 = JacobianCurve(Fq2Ops, fused="g2")
 
 
 def pack_affine_host(points) -> tuple:

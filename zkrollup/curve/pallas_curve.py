@@ -32,7 +32,8 @@ from ..fields.limbs import N_LIMBS, LIMB_BITS, MASK
 from ..fields.mont import FQ
 
 TILE = 256            # lanes per grid step
-MIN_BATCH = 256       # below this the generic path is fine
+MIN_BATCH = 1    # always fuse on TPU: one padded-tile kernel beats a
+                 # ~20k-HLO generic graph in BOTH compile and dispatch
 ACC = N_LIMBS + 2
 
 _N0 = np.uint32(FQ.n0inv)
@@ -272,6 +273,136 @@ def _add_z01_kernel(n_ref, x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, z2_ref,
     z3_ref[:] = Z3
 
 
+def _add_nd_kernel(n_ref, x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, z2_ref,
+                   x3_ref, y3_ref, z3_ref):
+    """Jacobian add for DISTINCT operands: the double path is omitted
+    (saves the 2M+5S mdbl + its selects, ~30% of the generic kernel's
+    multiplies). Contract (msm.py scan phase): p and q are never the same
+    non-infinity point — operands are sums of different non-empty subsets
+    of a duplicate-free table, so equality requires a subset-sum collision
+    in x (cryptographically negligible; the prover's mandatory self-verify
+    is the backstop). Infinity on either side and p == -q (H = 0, R != 0
+    -> infinity) remain exact."""
+    n = n_ref[:]
+    X1, Y1, Z1 = x1_ref[:], y1_ref[:], z1_ref[:]
+    X2, Y2, Z2 = x2_ref[:], y2_ref[:], z2_ref[:]
+
+    Z1Z1 = _k_sqr(n, Z1)
+    Z2Z2 = _k_sqr(n, Z2)
+    U1 = _k_mont_mul(n, X1, Z2Z2)
+    U2 = _k_mont_mul(n, X2, Z1Z1)
+    S1 = _k_mont_mul(n, _k_mont_mul(n, Y1, Z2), Z2Z2)
+    S2 = _k_mont_mul(n, _k_mont_mul(n, Y2, Z1), Z1Z1)
+    H = _k_sub(n, U2, U1)
+    R = _k_sub(n, S2, S1)
+
+    HH = _k_sqr(n, H)
+    HHH = _k_mont_mul(n, H, HH)
+    V = _k_mont_mul(n, U1, HH)
+    X3 = _k_sub(n, _k_sub(n, _k_sqr(n, R), HHH), _k_dbl(n, V))
+    Y3 = _k_sub(n, _k_mont_mul(n, R, _k_sub(n, V, X3)),
+                _k_mont_mul(n, S1, HHH))
+    Z3 = _k_mont_mul(n, _k_mont_mul(n, Z1, Z2), H)
+
+    h_zero = _k_is_zero(H)
+    p_inf = _k_is_zero(Z1)
+    q_inf = _k_is_zero(Z2)
+
+    # same x, neither infinite -> p == -q (or an excluded double): infinity
+    to_inf = jnp.logical_and(
+        h_zero,
+        jnp.logical_and(jnp.logical_not(p_inf), jnp.logical_not(q_inf)))
+    Z3 = _k_select(to_inf, jnp.zeros_like(Z3), Z3)
+
+    X3 = _k_select(p_inf, X2, X3)
+    Y3 = _k_select(p_inf, Y2, Y3)
+    Z3 = _k_select(p_inf, Z2, Z3)
+    X3 = _k_select(q_inf, X1, X3)
+    Y3 = _k_select(q_inf, Y1, Y3)
+    Z3 = _k_select(q_inf, Z1, Z3)
+
+    x3_ref[:] = X3
+    y3_ref[:] = Y3
+    z3_ref[:] = Z3
+
+
+def _make_madd_kernel(distinct: bool):
+    """Mixed add: P (Jacobian) + Q (affine-or-infinity, Z2 in {0, 1}).
+    madd-2007-bl shape — 8M+3S on the add path vs the generic kernel's
+    12M+4S, and the double path is the 1M+5S affine mdbl. With
+    distinct=True the double path is omitted entirely (msm.py chunked-scan
+    contract: the accumulator never equals the incoming table point)."""
+
+    def kernel(n_ref, x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, z2_ref,
+               x3_ref, y3_ref, z3_ref):
+        n = n_ref[:]
+        X1, Y1, Z1 = x1_ref[:], y1_ref[:], z1_ref[:]
+        x2, y2, Z2 = x2_ref[:], y2_ref[:], z2_ref[:]
+
+        Z1Z1 = _k_sqr(n, Z1)
+        U2 = _k_mont_mul(n, x2, Z1Z1)
+        S2 = _k_mont_mul(n, _k_mont_mul(n, y2, Z1), Z1Z1)
+        H = _k_sub(n, U2, X1)
+        R = _k_sub(n, S2, Y1)
+        HH = _k_sqr(n, H)
+        HHH = _k_mont_mul(n, H, HH)
+        V = _k_mont_mul(n, X1, HH)
+        X3 = _k_sub(n, _k_sub(n, _k_sqr(n, R), HHH), _k_dbl(n, V))
+        Y3 = _k_sub(n, _k_mont_mul(n, R, _k_sub(n, V, X3)),
+                    _k_mont_mul(n, Y1, HHH))
+        Z3 = _k_mont_mul(n, Z1, H)
+
+        h_zero = _k_is_zero(H)
+        p_inf = _k_is_zero(Z1)
+        q_inf = _k_is_zero(Z2)
+
+        if distinct:
+            to_inf = jnp.logical_and(
+                h_zero, jnp.logical_and(jnp.logical_not(p_inf),
+                                        jnp.logical_not(q_inf)))
+            Z3 = _k_select(to_inf, jnp.zeros_like(Z3), Z3)
+        else:
+            r_zero = _k_is_zero(R)
+            # affine double of q (mdbl, Z2 = 1): acc == q on this path
+            A = _k_sqr(n, x2)
+            B = _k_sqr(n, y2)
+            C = _k_sqr(n, B)
+            t = _k_sqr(n, _k_add(n, x2, B))
+            D = _k_dbl(n, _k_sub(n, _k_sub(n, t, A), C))
+            E = _k_add(n, _k_dbl(n, A), A)
+            F2 = _k_sqr(n, E)
+            dX = _k_sub(n, F2, _k_dbl(n, D))
+            C8 = _k_dbl(n, _k_dbl(n, _k_dbl(n, C)))
+            dY = _k_sub(n, _k_mont_mul(n, E, _k_sub(n, D, dX)), C8)
+            dZ = _k_dbl(n, y2)
+            same = jnp.logical_and(h_zero, r_zero)
+            X3 = _k_select(same, dX, X3)
+            Y3 = _k_select(same, dY, Y3)
+            Z3 = _k_select(same, dZ, Z3)
+            to_inf = jnp.logical_and(
+                jnp.logical_and(h_zero, jnp.logical_not(r_zero)),
+                jnp.logical_and(jnp.logical_not(p_inf),
+                                jnp.logical_not(q_inf)))
+            Z3 = _k_select(to_inf, jnp.zeros_like(Z3), Z3)
+
+        X3 = _k_select(p_inf, x2, X3)
+        Y3 = _k_select(p_inf, y2, Y3)
+        Z3 = _k_select(p_inf, Z2, Z3)
+        X3 = _k_select(q_inf, X1, X3)
+        Y3 = _k_select(q_inf, Y1, Y3)
+        Z3 = _k_select(q_inf, Z1, Z3)
+
+        x3_ref[:] = X3
+        y3_ref[:] = Y3
+        z3_ref[:] = Z3
+
+    return kernel
+
+
+_madd_kernel = _make_madd_kernel(distinct=False)
+_madd_nd_kernel = _make_madd_kernel(distinct=True)
+
+
 def _double_kernel(n_ref, x_ref, y_ref, z_ref, x3_ref, y3_ref, z3_ref):
     X3, Y3, Z3 = _k_double_point(n_ref[:], x_ref[:], y_ref[:], z_ref[:])
     # doubling infinity keeps Z = 0 automatically (Z3 = 2Y*Z = 0); the
@@ -286,22 +417,25 @@ def _interpret() -> bool:
 
 
 def _pallas_pointwise(kernel, n_out: int, *coords):
-    """Run `kernel` over (n, 16) coordinate arrays tiled to (16, TILE)."""
+    """Run `kernel` over (n, 16) coordinate arrays tiled to (16, TILE).
+    In interpret mode (tests) per-op dispatch dominates and the grid
+    loops in python — run ONE grid step over the whole batch off-TPU."""
     n = coords[0].shape[0]
-    n_pad = -(-n // TILE) * TILE
+    tile = n if _interpret() else TILE
+    n_pad = -(-n // tile) * tile
     ins = []
     for c in coords:
         c2 = c
         if n_pad != n:
             c2 = jnp.pad(c2, ((0, n_pad - n), (0, 0)))
         ins.append(jnp.moveaxis(c2, -1, 0))  # (16, n_pad) limb-major
-    spec = pl.BlockSpec((N_LIMBS, TILE), lambda i: (0, i),
+    spec = pl.BlockSpec((N_LIMBS, tile), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
     n_spec = pl.BlockSpec((N_LIMBS, 1), lambda i: (0, 0),
                           memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         kernel,
-        grid=(n_pad // TILE,),
+        grid=(n_pad // tile,),
         in_specs=[n_spec] + [spec] * len(ins),
         out_specs=[spec] * n_out,
         out_shape=[jax.ShapeDtypeStruct((N_LIMBS, n_pad), jnp.uint32)
@@ -321,6 +455,24 @@ def g1_add(p, q):
 def g1_add_z01(p, q):
     """Fused add for Z in {0, 1} inputs (MSM leaf level)."""
     return _pallas_pointwise(_add_z01_kernel, 3, *p, *q)
+
+
+@jax.jit
+def g1_add_nd(p, q):
+    """Fused Jacobian add assuming distinct operands (no double path)."""
+    return _pallas_pointwise(_add_nd_kernel, 3, *p, *q)
+
+
+@jax.jit
+def g1_madd(p, q):
+    """Fused mixed add: p Jacobian, q = (x, y, z) with z in {0, 1}."""
+    return _pallas_pointwise(_madd_kernel, 3, *p, *q)
+
+
+@jax.jit
+def g1_madd_nd(p, q):
+    """Fused mixed add assuming distinct operands (no double path)."""
+    return _pallas_pointwise(_madd_nd_kernel, 3, *p, *q)
 
 
 @jax.jit

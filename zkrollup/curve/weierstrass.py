@@ -167,6 +167,10 @@ class JacobianCurve:
             from . import pallas_curve
             if pallas_curve.should_use(p):
                 return pallas_curve.g1_double(p)
+        elif self.fused == "g2":
+            from . import pallas_curve_g2
+            if pallas_curve_g2.should_use(p):
+                return pallas_curve_g2.g2_double(p)
         return self._double_generic(p)
 
     def _double_generic(self, p):
@@ -194,6 +198,10 @@ class JacobianCurve:
             from . import pallas_curve
             if pallas_curve.should_use(p, q):
                 return pallas_curve.g1_add(p, q)
+        elif self.fused == "g2":
+            from . import pallas_curve_g2
+            if pallas_curve_g2.should_use(p, q):
+                return pallas_curve_g2.g2_add(p, q)
         return self._add_generic(p, q)
 
     def _add_generic(self, p, q):
@@ -235,6 +243,42 @@ class JacobianCurve:
         out = self.select(p_inf, self._bcast(q, out), out)
         out = self.select(q_inf, self._bcast(p, out), out)
         return out
+
+    def add_nd(self, p, q):
+        """Add assuming p != q as non-infinity points (the msm.py scan
+        contract: sums of different non-empty subsets of a duplicate-free
+        table). On TPU this dispatches to the fused no-double-path kernel;
+        the generic fallback is the full (safe) unified add, so non-TPU
+        backends are always exact."""
+        if self.fused == "g1":
+            from . import pallas_curve
+            if pallas_curve.should_use(p, q):
+                return pallas_curve.g1_add_nd(p, q)
+        elif self.fused == "g2":
+            from . import pallas_curve_g2
+            if pallas_curve_g2.should_use(p, q):
+                return pallas_curve_g2.g2_add_nd(p, q)
+        return self._add_generic(p, q)
+
+    def madd_z01(self, p, q, distinct: bool = False):
+        """Mixed add: p Jacobian + q with Z in {0, 1} EXACTLY (affine or
+        infinity — the msm.py chunked-scan step shape). 8M+3S on the add
+        path vs 12M+4S for the general add. distinct=True additionally
+        drops the double path (see add_nd contract)."""
+        if self.fused == "g1":
+            from . import pallas_curve
+            if pallas_curve.should_use(p, q):
+                if distinct:
+                    return pallas_curve.g1_madd_nd(p, q)
+                return pallas_curve.g1_madd(p, q)
+        elif self.fused == "g2":
+            from . import pallas_curve_g2
+            if pallas_curve_g2.should_use(p, q):
+                if distinct:
+                    return pallas_curve_g2.g2_madd_nd(p, q)
+                return pallas_curve_g2.g2_madd(p, q)
+        x2, y2, z2 = q
+        return self.mixed_add(p, (x2, y2, self.F.is_zero(z2)))
 
     def mixed_add(self, p, q_affine):
         """p (Jacobian) + q (affine (x, y) with infinity flag). Cheaper than

@@ -29,8 +29,8 @@ import numpy as np
 from ..fields.mont import FR
 from ..fields import limbs as L
 from ..ntt.ntt import intt_mont, coset_ntt_mont, coset_intt_mont, COSET_SHIFT
-from ..msm.msm import msm
-from ..msm.glv import msm_glv
+from ..msm.msm import msm, pack_tables, msm_multi_host_combine
+from ..msm.glv import msm_glv, combine_window_sums_host_g2
 from ..curve import g1_jax, g2_jax
 from ..ref import bn254 as ref
 from ..ref.bn254 import R as FR_MOD
@@ -41,10 +41,9 @@ from .qap import to_coo
 # override exists because compile time scales with the window (the bucket
 # scan unrolls ~3c add bodies) — tests/conftest.py sets a small window so
 # CPU test compiles stay fast. Results are identical for any window.
-# CONTRACT: read ONCE at import (the module-level _msm_g1/_msm_g2 jits bake
-# it into their compiled programs) — set ZKROLLUP_MSM_WINDOW before
-# importing zkrollup, not after.
-MSM_WINDOW = int(os.environ.get("ZKROLLUP_MSM_WINDOW", "10"))
+# CONTRACT: read ONCE at import (jit caches bake it into their compiled
+# programs) — set ZKROLLUP_MSM_WINDOW before importing zkrollup, not after.
+MSM_WINDOW = int(os.environ.get("ZKROLLUP_MSM_WINDOW", "12"))
 
 
 # -- sparse matrix-vector product over the domain -----------------------------
@@ -98,22 +97,63 @@ def _quotient_plain(a_e, b_e, c_e, zinv_mont):
         return FR.from_mont(h)
 
 
-def _scoped_msm(curve, name):
-    def run(pts, sc):
-        with jax.named_scope(name):
-            return msm(curve, pts, sc, c=MSM_WINDOW)
-    return jax.jit(run)
+def _device_pack_g1(pk: ProvingKey):
+    """Stage the four G1 key tables as ONE packed multi-table MSM problem
+    (VERDICT r4 #1): infinity rows dropped (vars absent from A/B leave
+    A_i(tau) = 0 — ~5-40% of each table), tables concatenated and padded
+    to a CHUNK multiple, index maps kept so per-proof scalars are a device
+    gather. Cached on the key; points live in HBM across proofs."""
+    pack = getattr(pk, "_msm_pack_g1", None)
+    if pack is not None:
+        return pack
+
+    def filt(tbl):
+        x, y, inf = (np.asarray(t) for t in tbl)
+        keep = np.where(inf[:, 0] == 0)[0].astype(np.int32)
+        return (x[keep], y[keep], inf[keep]), keep
+
+    (a_t, a_i) = filt(pk.a_g1)
+    (b1_t, b1_i) = filt(pk.b1_g1)
+    (c_t, c_i) = filt(pk.c_g1)
+    (h_t, h_i) = filt(pk.h_g1)
+    points, bounds = pack_tables([a_t, b1_t, c_t, h_t])
+    pack = {
+        "points": points, "bounds": tuple(bounds),
+        "idx": (jnp.asarray(a_i), jnp.asarray(b1_i),
+                jnp.asarray(c_i + np.int32(pk.n_public)), jnp.asarray(h_i)),
+        "N": int(points[0].shape[0]),
+    }
+    object.__setattr__(pk, "_msm_pack_g1", pack)
+    return pack
 
 
-def _msm_g1(pts, sc):
-    # device window sums + HOST Horner combine: the on-device combine is
-    # ~290 batch-1 kernels (~0.3s pure dispatch at prove sizes, chip-
-    # measured); host combine is <30ms of python-int point ops
-    from ..msm.msm import msm_host_combine
-    return msm_host_combine(g1_jax.G1, pts, sc, c=MSM_WINDOW)
+def _device_pack_g2(pk: ProvingKey):
+    """Filtered b2 table: only vars appearing in B have non-infinity
+    points (~60-65% at the production circuit)."""
+    pack = getattr(pk, "_msm_pack_g2", None)
+    if pack is not None:
+        return pack
+    (x0, x1), (y0, y1), inf = (pk.b2_g2[0], pk.b2_g2[1], pk.b2_g2[2])
+    x0, x1, y0, y1, inf = (np.asarray(t) for t in (x0, x1, y0, y1, inf))
+    keep = np.where(inf[:, 0] == 0)[0].astype(np.int32)
+    pts = ((jnp.asarray(x0[keep]), jnp.asarray(x1[keep])),
+           (jnp.asarray(y0[keep]), jnp.asarray(y1[keep])),
+           jnp.asarray(inf[keep]))
+    pack = {"points": pts, "idx": jnp.asarray(keep)}
+    object.__setattr__(pk, "_msm_pack_g2", pack)
+    return pack
 
 
-_msm_g2 = _scoped_msm(g2_jax.G2, "groth16.msm_g2")
+@partial(jax.jit, static_argnames=("bounds", "n_total"))
+def _scalars_cat(w_plain, h_plain, idx, bounds, n_total: int):
+    """Gather the per-table scalars into the packed column layout
+    (zero scalars in the padding columns)."""
+    parts = [w_plain[idx[0]], w_plain[idx[1]], w_plain[idx[2]],
+             h_plain[idx[3]]]
+    used = sum(l for _, l in bounds)
+    if n_total > used:
+        parts.append(jnp.zeros((n_total - used, L.N_LIMBS), jnp.uint32))
+    return jnp.concatenate(parts, axis=0)
 
 
 def _g1_result(jac) -> Optional[tuple]:
@@ -332,12 +372,13 @@ def prove(pk: ProvingKey, r1cs, witness: List[int],
     zinv_mont = FR.const_mont(pow(z_coset, FR_MOD - 2, FR_MOD))
     h_plain = _quotient_plain(a_e, b_e, c_e, zinv_mont)  # (m, 16)
 
-    # 3: the five multiexponentiations. Plain 256-bit Pippenger by default:
-    # chip-measured FASTER than GLV on the sort-based run-merge design
-    # (bucket adds are W*n either way, so halved windows buy only the small
-    # reduction scan while paying host decompose + double-width gathers —
-    # 80.7k vs 69.1k pts/s at 2^17/c=10, round-4 bench matrix).
-    # ZKROLLUP_PROVE_GLV=1 re-enables the endomorphism path.
+    # 3: the five multiexponentiations. Default: the four G1 MSMs run as
+    # ONE fused multi-table chunked-scan program (one sort, one scan,
+    # shared reduction tails — msm.msm_multi_host_combine) over the
+    # infinity-filtered packed key tables; distinct=True is sound because
+    # key-table points are pairwise distinct (random tau powers).
+    # ZKROLLUP_PROVE_GLV=1 re-enables the endomorphism path (slower on
+    # the scan design — round-4 bench matrix).
     use_glv = os.environ.get("ZKROLLUP_PROVE_GLV", "0") == "1"
     w_np = np.asarray(w_plain)
     h_np = np.asarray(h_plain)[:m - 1]
@@ -348,26 +389,23 @@ def prove(pk: ProvingKey, r1cs, witness: List[int],
                                       c=MSM_WINDOW))
         pi_h_msm = _g1_result(msm_glv(pk.h_g1, h_np, c=MSM_WINDOW))
     else:
-        # key tables staged to device ONCE per key (tens of MB each — the
-        # H2D transfer is per-proof overhead otherwise)
-        dev = getattr(pk, "_dev_g1", None)
-        if dev is None:
-            as_dev = lambda t: tuple(jnp.asarray(a) for a in t)
-            dev = {"a": as_dev(pk.a_g1), "b1": as_dev(pk.b1_g1),
-                   "c": as_dev(pk.c_g1), "h": as_dev(pk.h_g1)}
-            object.__setattr__(pk, "_dev_g1", dev)
-        pi_a_msm = _g1_result(_msm_g1(dev["a"], jnp.asarray(w_np)))
-        pi_b1_msm = _g1_result(_msm_g1(dev["b1"], jnp.asarray(w_np)))
-        pi_c_msm = _g1_result(_msm_g1(dev["c"],
-                                      jnp.asarray(w_np[pk.n_public:])))
-        pi_h_msm = _g1_result(_msm_g1(dev["h"], jnp.asarray(h_np)))
-    # The single G2 MSM runs on the HOST engine when built: the Fq2 scan
-    # graph is compile-pathological on TPU (27 min at prove shapes, chip-
-    # measured) while the threaded native Pippenger does it in seconds;
-    # G1 — the bulk of the work — stays on device. Device fallback kept
-    # for environments without libzkhost.
+        pack = _device_pack_g1(pk)
+        sc_cat = _scalars_cat(w_plain, h_plain, pack["idx"],
+                              pack["bounds"], pack["N"])
+        res = msm_multi_host_combine(
+            g1_jax.G1, pack["points"], pack["bounds"], sc_cat,
+            c=MSM_WINDOW, distinct=True)
+        pi_a_msm, pi_b1_msm, pi_c_msm, pi_h_msm = (
+            _g1_result(p) for p in res)
+
+    # The single G2 MSM: on-device via the same chunked scan through the
+    # fused Fq2 Pallas kernels (pallas_curve_g2.py — the round-4 compile
+    # pathology is gone because each unified add is ONE kernel). The host
+    # C++ engine remains available as an explicit opt-in
+    # (ZKROLLUP_G2_BACKEND=host) for overlap scheduling.
+    g2_backend = os.environ.get("ZKROLLUP_G2_BACKEND", "device")
     from ..native import engine
-    if engine.available():
+    if g2_backend == "host" and engine.available():
         tbl = getattr(pk, "_host_b2", None)
         if tbl is None:
             tbl = engine.pack_g2_table_mont(pk.b2_g2)
@@ -375,10 +413,14 @@ def prove(pk: ProvingKey, r1cs, witness: List[int],
         pi_b_msm = engine.g2_msm_pip(
             tbl, engine.ints_to_fr_bytes(witness), pk.n_vars)
     else:
-        (bx0, bx1), (by0, by1), binf = pk.b2_g2
-        b2_dev = ((jnp.asarray(bx0), jnp.asarray(bx1)),
-                  (jnp.asarray(by0), jnp.asarray(by1)), jnp.asarray(binf))
-        pi_b_msm = _g2_result(_msm_g2(b2_dev, w_plain))
+        from ..msm.msm import _window_sums_jit, _clamp_window
+        g2p = _device_pack_g2(pk)
+        sc2 = w_plain[g2p["idx"]]
+        c2 = _clamp_window(min(MSM_WINDOW, 12), int(sc2.shape[0]))
+        with jax.named_scope("groth16.msm_g2"):
+            wsum2, _ = _window_sums_jit(g2_jax.G2)(
+                tuple(g2p["points"]), sc2, c=c2, n_bits=256, distinct=True)
+        pi_b_msm = combine_window_sums_host_g2(wsum2, c2)
 
     return _blind_combine(pk, pi_a_msm, pi_b_msm, pi_b1_msm, pi_c_msm,
                           pi_h_msm, r, s)

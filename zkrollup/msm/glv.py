@@ -133,6 +133,23 @@ def combine_window_sums_host(wsum, c: int):
     return (pack(res[0]), pack(res[1]), pack(res[2]))
 
 
+def combine_window_sums_host_g2(wsum, c: int):
+    """G2 Horner combine on the host: ~W*(c+1) single-point twist ops vs
+    hundreds of dispatch-bound batch-1 Fq2 kernels on device. wsum: G2
+    Jacobian pytree with ((W,16),(W,16)) Fq2 leaves. Returns a host affine
+    point ((x0,x1),(y0,y1)) | None — the shape prove.py's blinding
+    combine consumes."""
+    from ..curve import g2_jax
+    pts = g2_jax.to_affine_host(wsum)
+    res = None
+    for w in range(len(pts) - 1, -1, -1):
+        if res is not None:
+            res = ref.g2_mul(res, 1 << c)
+        if pts[w] is not None:
+            res = pts[w] if res is None else ref.g2_add(res, pts[w])
+    return res
+
+
 def msm_glv(points_affine, scalars, c: int = 10):
     """points_affine: packed (x, y, inf) device/host arrays; scalars: host
     ints OR an (n, 16) uint32 canonical limb array. Returns a Jacobian

@@ -60,16 +60,37 @@ def window_digits(scalars: jnp.ndarray, c: int, n_windows: int) -> jnp.ndarray:
     return jnp.sum(digs * weights, axis=-1, dtype=jnp.uint32).T  # (W, n)
 
 
-def _add_2d(curve: JacobianCurve, p, q):
-    """curve.add with leaves flattened to 2D (batch, 16) so big batches hit
-    the fused Pallas kernel regardless of the logical leading shape."""
+def _add_2d(curve: JacobianCurve, p, q, addfn=None, pad_pow2=False):
+    """curve.add (or `addfn`) with leaves flattened to 2D (batch, 16) so
+    big batches hit the fused Pallas kernel regardless of the logical
+    leading shape.
+
+    pad_pow2=True pads the flattened batch to the next power of two
+    (zeros = infinity lanes, result sliced off). The reduction trees call
+    their add at ~log2(n) DIFFERENT widths; each distinct width is a
+    separate Mosaic kernel compile, so collapsing widths onto the power-
+    of-two ladder makes all tree levels (across all trees in a program)
+    share a handful of compiled kernels — at <2x extra lanes on a
+    geometric series whose total is small."""
+    fn = addfn if addfn is not None else curve.add
     leaves = jax.tree_util.tree_leaves(p)
     shape = leaves[0].shape
-    if len(shape) == 2:
-        return curve.add(p, q)
     flat = lambda a: a.reshape(-1, a.shape[-1])
-    out = curve.add(_tree(flat, p), _tree(flat, q))
-    return _tree(lambda a: a.reshape(shape), out)
+    if len(shape) != 2:
+        p = _tree(flat, p)
+        q = _tree(flat, q)
+    w = jax.tree_util.tree_leaves(p)[0].shape[0]
+    w_pad = 1 << max((w - 1).bit_length(), 0) if pad_pow2 else w
+    if w_pad != w:
+        padz = lambda a: jnp.concatenate(
+            [a, jnp.zeros((w_pad - w,) + a.shape[1:], a.dtype)], axis=0)
+        out = fn(_tree(padz, p), _tree(padz, q))
+        out = _tree(lambda a: a[:w], out)
+    else:
+        out = fn(p, q)
+    if len(shape) != 2:
+        out = _tree(lambda a: a.reshape(shape), out)
+    return out
 
 
 def _interleave_axis1(a, b):
@@ -78,7 +99,7 @@ def _interleave_axis1(a, b):
             l.shape[:1] + (l.shape[1] * 2,) + l.shape[2:]), a, b)
 
 
-def _excl_prefix_scan_axis1(curve, pts, return_total=False):
+def _excl_prefix_scan_axis1(curve, pts, return_total=False, addfn=None):
     """Work-efficient (Blelloch) EXCLUSIVE prefix point-sum along axis 1 of
     (W, B, ...) leaves: 2(B-1) adds per window vs B*log B for Hillis-Steele.
     Point addition is abelian, so the up/down-sweep restructuring is valid.
@@ -90,17 +111,81 @@ def _excl_prefix_scan_axis1(curve, pts, return_total=False):
         levels.append(cur)
         cur = _add_2d(curve,
                       _tree(lambda a: a[:, 0::2], cur),
-                      _tree(lambda a: a[:, 1::2], cur))
+                      _tree(lambda a: a[:, 1::2], cur), addfn,
+                      pad_pow2=True)
     total = _tree(lambda a: a[:, 0], cur)
     w = jax.tree_util.tree_leaves(cur)[0].shape[0]
     excl = curve.infinity((w, 1))
     for lvl in reversed(levels):
         left = _tree(lambda a: a[:, 0::2], lvl)
-        excl_r = _add_2d(curve, excl, left)
+        excl_r = _add_2d(curve, excl, left, addfn, pad_pow2=True)
         excl = _interleave_axis1(excl, excl_r)
     if return_total:
         return excl, total
     return excl
+
+
+def _excl_prefix_chunked_axis1(curve, pts, distinct: bool):
+    """Lazy exclusive prefix point-scan along axis 1 of (W, n, ...) leaves
+    whose elements have Z in {0, 1} (affine-or-infinity — the sorted,
+    gathered table points). Returns (within, chunk_excl, total) with
+
+        prefix_excl[w, q*K + k] == chunk_excl[w, q] (+) within[k, w, q]
+
+    left LAZY (callers combine only the boundary positions they gather).
+    Work: n - n/K mixed adds (the sequential chunk leg, ONE compiled madd
+    body run K-1 times) + 2(n/K) Jacobian adds (Blelloch over chunk
+    totals) per window — vs 2n full-width Jacobian adds for the eager
+    Blelloch scan. distinct=True applies the no-double-path kernel
+    contract (see weierstrass.add_nd)."""
+    W, n = jax.tree_util.tree_leaves(pts)[0].shape[:2]
+    K = min(CHUNK, n)
+    nq = n // K
+    # (W, n) -> (K, W, nq): chunk q covers positions [q*K, (q+1)*K)
+    p3 = _tree(
+        lambda a: jnp.moveaxis(
+            a.reshape((W, nq, K) + a.shape[2:]), 2, 0), pts)
+    x0 = _tree(lambda a: a[0], p3)
+    rest = _tree(lambda a: a[1:], p3)
+
+    def step(acc, x):
+        new = _madd_2d(curve, acc, x, distinct)
+        return new, acc
+
+    # carry starts at x0 (Z in {0,1} is a valid Jacobian encoding): the
+    # first add against infinity is skipped entirely
+    totals, ys = jax.lax.scan(step, x0, rest)
+    within = _tree(
+        lambda i, y: jnp.concatenate([i[None], y], axis=0),
+        curve.infinity((W, nq)), ys)          # (K, W, nq)
+
+    # the Blelloch over chunk totals needs a power-of-two width — pad
+    # HERE (cheap: nq elements) instead of padding the full column space
+    # (n needs only be a multiple of K, so packed multi-table problems
+    # avoid up to 2x column blow-up)
+    nq_pad = 1 << max((nq - 1).bit_length(), 0)
+    totals_p = totals
+    if nq_pad != nq:
+        totals_p = jax.tree_util.tree_map(
+            lambda a, i: jnp.concatenate([a, i], axis=1), totals,
+            curve.infinity((W, nq_pad - nq)))
+    addfn = curve.add_nd if distinct else None
+    chunk_excl, total = _excl_prefix_scan_axis1(
+        curve, totals_p, return_total=True, addfn=addfn)
+    if nq_pad != nq:
+        chunk_excl = _tree(lambda a: a[:, :nq], chunk_excl)
+    return within, chunk_excl, total
+
+
+def _madd_2d(curve, p, q, distinct):
+    """curve.madd_z01 on arbitrarily-shaped leading axes."""
+    leaves = jax.tree_util.tree_leaves(p)
+    shape = leaves[0].shape
+    if len(shape) == 2:
+        return curve.madd_z01(p, q, distinct=distinct)
+    flat = lambda a: a.reshape(-1, a.shape[-1])
+    out = curve.madd_z01(_tree(flat, p), _tree(flat, q), distinct=distinct)
+    return _tree(lambda a: a.reshape(shape), out)
 
 
 def _reduce_axis1(curve, pts):
@@ -109,16 +194,21 @@ def _reduce_axis1(curve, pts):
     while jax.tree_util.tree_leaves(cur)[0].shape[1] > 1:
         cur = _add_2d(curve,
                       _tree(lambda a: a[:, 0::2], cur),
-                      _tree(lambda a: a[:, 1::2], cur))
+                      _tree(lambda a: a[:, 1::2], cur), pad_pow2=True)
     return _tree(lambda a: a[:, 0], cur)
 
 
 # Bucket-phase strategy:
-#   "scan"      scatter-free Abel summation (default): suffix prefix-scan
-#               of the sorted points + boundary gather — see
-#               _flat_window_sums_scan. Chip-measured fastest: TPU scatter
-#               lowers to sequential updates, so the banked designs below
-#               pay ~1s/2^17 in scatter traffic the scan avoids.
+#   "scan"      scatter-free Abel summation via the CHUNKED lazy prefix
+#               scan (default): sequential lax.scan over K-element chunks
+#               of the sorted points (mixed adds: the incoming operand is
+#               always affine-or-infinity) + a small Blelloch scan over
+#               chunk totals + lazily-combined boundary gathers — ~n(1+2/K)
+#               point adds per window vs the full Blelloch's 2n, and the
+#               scan body compiles ONCE instead of 2*log2(n) unrolled
+#               levels. See _flat_window_sums_scan2.
+#   "scan1"     the round-4 full-Blelloch suffix scan (kept as a
+#               differential reference for the chunked path)
 #   "jacobian"  run-merge tree, branch-free Jacobian adds through the
 #               fused Pallas kernels, scatter-banked buckets
 #   "affine"    run-merge tree, all-affine nodes sharing one batched
@@ -126,11 +216,15 @@ def _reduce_axis1(curve, pts):
 #               fusion + scatter costs)
 # Differentially equal; benchmarked per backend (tools/profile_msm.py).
 _TREE_MODE = os.environ.get("ZKROLLUP_MSM_TREE", "scan")
-if _TREE_MODE not in ("scan", "affine", "jacobian"):
+if _TREE_MODE not in ("scan", "scan1", "affine", "jacobian"):
     raise ValueError(
-        f"ZKROLLUP_MSM_TREE={_TREE_MODE!r}: must be 'scan', 'affine' or "
-        "'jacobian'. Read once at import (jit-cached programs bake the "
-        "choice in); set it before importing zkrollup.")
+        f"ZKROLLUP_MSM_TREE={_TREE_MODE!r}: must be 'scan', 'scan1', "
+        "'affine' or 'jacobian'. Read once at import (jit-cached programs "
+        "bake the choice in); set it before importing zkrollup.")
+
+# chunk length of the sequential scan leg; the adds overhead vs a perfect
+# n-add scan is 2/K (the Blelloch over chunk totals)
+CHUNK = int(os.environ.get("ZKROLLUP_MSM_CHUNK", "64"))
 
 
 def _flat_window_sums_scan(curve: JacobianCurve, digits, xy, inf, c: int):
@@ -187,7 +281,114 @@ def _flat_window_sums_scan(curve: JacobianCurve, digits, xy, inf, c: int):
     return _reduce_axis1(curve, padded)
 
 
-def _flat_window_sums(curve: JacobianCurve, digits, xy, inf, c: int):
+def _flat_window_sums_scan2(curve: JacobianCurve, keys, xy, inf, c: int,
+                            n_tables: int, distinct: bool):
+    """Chunked-scan Abel summation over n_tables CONCATENATED point tables
+    (the Groth16 prove path fuses its four G1 key tables into ONE of these
+    programs — VERDICT r4 #1).
+
+    keys: (W, N) uint32, column j carrying (table_id << c) | digit so a
+    row-sort groups (table, digit) runs; xy/inf: the concatenated points.
+    For table t and threshold s, Abel summation over the table's slice is
+
+        wsum[t, w] = sum_{s=1}^{B-1} T_{t,w,s},
+        T_{t,w,s}  = R(j_{t,s}) (-) R(end_t)
+
+    where R(i) = sum of the last i sorted points of row w (a suffix
+    spanning LATER tables too — hence the subtraction of the suffix at the
+    table's end; for the last table R(end) is infinity and the subtraction
+    is a no-op add). All R values come from ONE chunked lazy prefix scan
+    (n(1+2/K) adds/window); no scatters anywhere. Returns the per-window
+    sums as a pytree with leading axes (W, n_tables)."""
+    W, N = keys.shape
+    B = 1 << c
+    F = curve.F
+
+    iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (W, N))
+    k_sorted, perm = jax.lax.sort((keys, iota), dimension=1, num_keys=1)
+    idx = perm.reshape(-1)
+    # zero the coordinates of infinity rows (cheap, width N) so the mask
+    # can be DERIVED after the big (W*N) gather instead of gathered —
+    # x == y == 0 is impossible for a real point (y = 0 never occurs on
+    # an odd-order curve), so zeros uniquely encode infinity
+    zero16 = lambda a: jnp.where(inf != 0, jnp.zeros_like(a), a)
+    if isinstance(xy[0], tuple):
+        # G2: Fq2 coordinates — interleave all four limb blocks into ONE
+        # (N, 64) array so the per-window reorder is a single wide-row
+        # gather (chip-measured 2.6x faster than split gathers)
+        packed = jnp.concatenate(
+            [zero16(c) for c in (xy[0][0], xy[0][1], xy[1][0], xy[1][1])],
+            axis=1)
+        g = jnp.take(packed, idx, axis=0)
+        x = (g[:, :16], g[:, 16:32])
+        y = (g[:, 32:48], g[:, 48:64])
+    else:
+        packed = jnp.concatenate([zero16(xy[0]), zero16(xy[1])],
+                                 axis=1)                    # (N, 32)
+        g = jnp.take(packed, idx, axis=0)
+        x, y = g[:, :16], g[:, 16:]
+    inf_f = jnp.all(g == 0, axis=1, keepdims=True)
+    bshape = F.batch_shape(x)
+    z = F.select(inf_f, F.zeros(bshape), F.one(bshape))
+    p = _tree(lambda a: a.reshape((W, N) + a.shape[1:]), (x, y, z))
+
+    # lazy exclusive prefix over the REVERSED rows: R(i) = prefix_excl[i]
+    rev = _tree(lambda a: jnp.flip(a, axis=1), p)
+    within, chunk_excl, total = _excl_prefix_chunked_axis1(
+        curve, rev, distinct)
+    K = jax.tree_util.tree_leaves(within)[0].shape[0]
+
+    # thresholds, table-major: for table t the B-1 Abel cut-offs then the
+    # table-end marker (t+1)<<c  ->  (n_tables * B,)
+    ts = jnp.concatenate([
+        jnp.concatenate([
+            jnp.arange(1, B, dtype=keys.dtype) + jnp.uint32(t << c),
+            jnp.asarray([(t + 1) << c], keys.dtype)])
+        for t in range(n_tables)])
+    j = jax.vmap(lambda row: jnp.searchsorted(row, ts))(k_sorted)
+    i_idx = (N - j).astype(jnp.int32)                 # (W, n_tables*B)
+    rows = jnp.arange(W, dtype=jnp.int32)[:, None]
+    safe = jnp.clip(i_idx, 0, N - 1)
+    q_idx = safe // K
+    k_idx = safe % K
+    cpart = _tree(lambda a: a[rows, q_idx], chunk_excl)
+    wpart = _tree(lambda a: a[k_idx, rows, q_idx], within)
+    gathered = _add_2d(curve, cpart, wpart,
+                       curve.add_nd if distinct else None)
+    total_b = _tree(
+        lambda a: jnp.broadcast_to(
+            a[:, None], (W, n_tables * B) + a.shape[1:]), total)
+    sel = curve.select((i_idx == N)[..., None], total_b, gathered)
+    sel = curve.select((i_idx == 0)[..., None],
+                       curve.infinity((W, n_tables * B)), sel)
+
+    # (W, T, B): [:, :, :B-1] are the Abel suffix values, [:, :, B-1] the
+    # table-end suffix to subtract (negate y); the subtraction operands are
+    # sums over ranges where one CONTAINS the other, so equality means an
+    # empty middle — exactly the H==0, R!=0 -> infinity path, double-free
+    sel3 = _tree(lambda a: a.reshape((W, n_tables, B) + a.shape[2:]), sel)
+    svals = _tree(lambda a: a[:, :, :B - 1], sel3)
+    end = _tree(lambda a: a[:, :, B - 1:], sel3)
+    end_neg = (end[0], F.neg(end[1]), end[2])
+    end_b = _tree(
+        lambda a: jnp.broadcast_to(a, (W, n_tables, B - 1) + a.shape[3:]),
+        end_neg)
+    t_vals = _add_2d(curve, svals, end_b,
+                     curve.add_nd if distinct else None)
+
+    # per-(table, window) reduction: pad B-1 -> B; adjacent T values ARE
+    # equal whenever a digit goes unused, so this stays on the safe add
+    padded = jax.tree_util.tree_map(
+        lambda a, i: jnp.concatenate([a, i], axis=2), t_vals,
+        curve.infinity((W, n_tables, 1)))
+    flat = _tree(lambda a: a.reshape((W * n_tables, B) + a.shape[3:]),
+                 padded)
+    red = _reduce_axis1(curve, flat)
+    return _tree(lambda a: a.reshape((W, n_tables) + a.shape[1:]), red)
+
+
+def _flat_window_sums(curve: JacobianCurve, digits, xy, inf, c: int,
+                      distinct: bool = False):
     """Bucket-accumulate and reduce ALL windows at once.
 
     digits: (W, n) uint32, n a power of two; xy: affine coordinate pytree
@@ -205,6 +406,10 @@ def _flat_window_sums(curve: JacobianCurve, digits, xy, inf, c: int):
     leftover runs are banked vectorized.
     """
     if _TREE_MODE == "scan":
+        out = _flat_window_sums_scan2(curve, digits, xy, inf, c,
+                                      n_tables=1, distinct=distinct)
+        return _tree(lambda a: a[:, 0], out)
+    if _TREE_MODE == "scan1":
         return _flat_window_sums_scan(curve, digits, xy, inf, c)
 
     W, n = digits.shape
@@ -406,23 +611,28 @@ def _clamp_window(c: int, n_sc: int) -> int:
 
 
 def window_sums(curve: JacobianCurve, points_affine, scalars: jnp.ndarray,
-                c: int = 12, n_bits: int = 256):
+                c: int = 12, n_bits: int = 256, distinct: bool = False):
     """points_affine: (x, y, inf_mask) pytree, leaves (n, ...); scalars:
     (n, 16) plain-form limbs, each < 2^n_bits. Returns (wsum, c) where wsum
     is a Jacobian pytree with leading axis W = ceil(n_bits/c): the
     per-window bucket-weighted sums. Callers combine them with Horner —
-    on device (msm) or on the host (msm/glv.py; W tiny point ops)."""
+    on device (msm) or on the host (msm/glv.py; W tiny point ops).
+
+    distinct=True asserts the (non-infinity) POINTS are pairwise distinct
+    — true of real proving-key tables — and unlocks the no-double-path
+    kernels on TPU (see weierstrass.add_nd; ~30% fewer multiplies in the
+    scan). With duplicated points it computes garbage: leave it False."""
     c = _clamp_window(c, scalars.shape[0])
     n_windows = (n_bits + c - 1) // c
     (x, y, inf), scalars = _pad_problem(points_affine, scalars)
     digits = window_digits(scalars, c, n_windows)  # (W, n_pad)
-    return _flat_window_sums(curve, digits, (x, y), inf, c), c
+    return _flat_window_sums(curve, digits, (x, y), inf, c, distinct), c
 
 
 def msm(curve: JacobianCurve, points_affine, scalars: jnp.ndarray,
-        c: int = 12, n_bits: int = 256):
+        c: int = 12, n_bits: int = 256, distinct: bool = False):
     """Full MSM on device. Returns one Jacobian point (batch ())."""
-    wsum, c = window_sums(curve, points_affine, scalars, c, n_bits)
+    wsum, c = window_sums(curve, points_affine, scalars, c, n_bits, distinct)
     n_windows = jax.tree_util.tree_leaves(wsum)[0].shape[0]
 
     # Horner over windows, high to low: res = 2^c * res + W_w
@@ -445,13 +655,13 @@ def _window_sums_jit(curve):
     f = _WS_JIT.get(id(curve))
     if f is None:
         f = jax.jit(partial(window_sums, curve),
-                    static_argnames=("c", "n_bits"))
+                    static_argnames=("c", "n_bits", "distinct"))
         _WS_JIT[id(curve)] = f
     return f
 
 
 def msm_host_combine(curve: JacobianCurve, points_affine, scalars,
-                     c: int = 12, n_bits: int = 256):
+                     c: int = 12, n_bits: int = 256, distinct: bool = False):
     """window_sums on device + Horner combine on the HOST (python-int
     Jacobian ops). The device Horner is ~290 batch-1 kernels inside the
     program — ~0.3s of pure dispatch at 2^17/c=12 on chip, vs <30ms on
@@ -464,5 +674,88 @@ def msm_host_combine(curve: JacobianCurve, points_affine, scalars,
     # (tools/trace_prove.py) — the prove path's dominant cost
     with jax.named_scope("groth16.msm_g1"):
         wsum, _ = _window_sums_jit(curve)(tuple(points_affine), scalars,
-                                          c=c, n_bits=n_bits)
+                                          c=c, n_bits=n_bits,
+                                          distinct=distinct)
     return combine_window_sums_host(wsum, c)
+
+
+# -- fused multi-table MSM (the Groth16 G1 prove path) ------------------------
+
+def pack_tables(tables):
+    """Concatenate n point tables (x, y, inf) into one flat problem padded
+    to CHUNK * 2^m columns. Returns (points (N,...), bounds [(start, len)]).
+    Host-side, done once per proving key (prove.py caches the result)."""
+    xs, ys, infs = [], [], []
+    bounds = []
+    start = 0
+    for (x, y, inf) in tables:
+        x, y, inf = np.asarray(x), np.asarray(y), np.asarray(inf)
+        n_t = x.shape[0]
+        bounds.append((start, n_t))
+        xs.append(x); ys.append(y); infs.append(inf)
+        start += n_t
+    total = start
+    # pad to a CHUNK multiple only — the chunked scan pads its (tiny)
+    # chunk-totals array to a power of two itself, so the full column
+    # space avoids up-to-2x power-of-two blow-up
+    n_pad = -(-total // CHUNK) * CHUNK
+    pad = n_pad - total
+    if pad:
+        xs.append(np.zeros((pad,) + xs[0].shape[1:], xs[0].dtype))
+        ys.append(np.zeros((pad,) + ys[0].shape[1:], ys[0].dtype))
+        infs.append(np.ones((pad,) + infs[0].shape[1:], infs[0].dtype))
+    pts = (jnp.asarray(np.concatenate(xs)), jnp.asarray(np.concatenate(ys)),
+           jnp.asarray(np.concatenate(infs)))
+    return pts, bounds
+
+
+def _multi_window_sums(curve, points, scalars_cat, c: int, bounds,
+                       distinct: bool):
+    """points: concatenated (x, y, inf) from pack_tables; scalars_cat:
+    (N, 16) scalars aligned with the concatenation (zeros in padding).
+    bounds: static ((start, len), ...). Returns (W, n_tables) window sums."""
+    x, y, inf = points
+    N = x.shape[0]
+    n_tables = len(bounds)
+    c = _clamp_window(c, max(l for _, l in bounds))
+    n_windows = (256 + c - 1) // c
+    digits = window_digits(scalars_cat, c, n_windows)      # (W, N)
+    # column -> (table_id << c) key offset; padding keys stay in the last
+    # table's range (digit 0, never gathered)
+    off = np.zeros((N,), np.uint32)
+    for t, (s, l) in enumerate(bounds):
+        off[s:s + l] = np.uint32(t << c)
+    if bounds:
+        s_last, l_last = bounds[-1]
+        off[s_last + l_last:] = np.uint32((n_tables - 1) << c)
+    keys = digits + jnp.asarray(off)[None]
+    return _flat_window_sums_scan2(curve, keys, (x, y), inf, c,
+                                   n_tables, distinct), c
+
+
+_MWS_JIT = {}
+
+
+def _multi_window_sums_jit(curve):
+    f = _MWS_JIT.get(id(curve))
+    if f is None:
+        f = jax.jit(partial(_multi_window_sums, curve),
+                    static_argnames=("c", "bounds", "distinct"))
+        _MWS_JIT[id(curve)] = f
+    return f
+
+
+def msm_multi_host_combine(curve, packed, bounds, scalars_cat,
+                           c: int = 12, distinct: bool = True):
+    """ONE compiled scan program for an MSM over every table in `packed`
+    (from pack_tables), + per-table host Horner combines. Returns a list
+    of host Jacobian results in table order. This is how the prover runs
+    its four G1 MSMs: one sort, one scan, shared reduction tails."""
+    from .glv import combine_window_sums_host
+    c = _clamp_window(c, max(l for _, l in bounds))
+    with jax.named_scope("groth16.msm_g1"):
+        wsum, c = _multi_window_sums_jit(curve)(
+            tuple(packed), scalars_cat, c=c, bounds=tuple(bounds),
+            distinct=distinct)
+    return [combine_window_sums_host(_tree(lambda a: a[:, t], wsum), c)
+            for t in range(len(bounds))]

@@ -111,3 +111,81 @@ class BatchDaemon:
                 done += 1
             else:
                 time.sleep(poll_interval)
+
+    def run_pipeline(self, max_batches: Optional[int] = None,
+                     queue_depth: int = 2,
+                     poll_interval: float = 0.2) -> int:
+        """DP pipeline (BASELINE config 5, VERDICT r4 #7): witness
+        synthesis for batch i+1 overlaps proving of batch i.
+
+        Correctness: the balance tree chains batch-to-batch through input
+        ASSEMBLY (prepare_batch returns the post-batch tree), not through
+        the proof — so a host thread prepares batches ahead along the
+        projected tree while the device proves in order. Submission,
+        mark_processed and state persistence stay strictly ordered in
+        this (single-writer) thread; a prove failure discards the
+        speculative preparations and leaves every unproven tx queued.
+        Returns the number of batches settled."""
+        import queue as _q
+        if not self._step_lock.acquire(blocking=False):
+            return 0
+        prepared: "_q.Queue" = _q.Queue(maxsize=queue_depth)
+        stop = threading.Event()
+
+        def witness_stage():
+            offset = 0
+            tree = self.state.load_tree()
+            prepared_n = 0
+            while not stop.is_set():
+                if max_batches is not None and prepared_n >= max_batches:
+                    break
+                txs = self.queue.peek_batch(self.cfg.batch_size,
+                                            offset=offset)
+                if txs is None:
+                    if max_batches is None:
+                        time.sleep(poll_interval)
+                        continue
+                    break
+                try:
+                    prep = self.prover.prepare_batch(tree, txs)
+                except Exception as e:       # surface in the prove thread
+                    prepared.put(e)
+                    return
+                tree = prep.final_tree       # chain the projected tree
+                offset += len(txs)
+                prepared_n += 1
+                prepared.put(prep)
+            prepared.put(None)               # end-of-stream
+
+        t = threading.Thread(target=witness_stage, daemon=True)
+        t.start()
+        done = 0
+        try:
+            while True:
+                prep = prepared.get()
+                if prep is None:
+                    break
+                if isinstance(prep, Exception):
+                    self.metrics.proofs_failed += 1
+                    raise prep
+                t0 = time.time()
+                try:
+                    proof = self.prover.prove_prepared(prep)
+                except Exception:
+                    self.metrics.proofs_failed += 1
+                    raise
+                self.metrics.last_prove_seconds = time.time() - t0
+                self.metrics.total_prove_seconds += (
+                    self.metrics.last_prove_seconds)
+                self.contract.roll_up(proof, prep.public_signals)
+                self.queue.mark_processed(len(prep.txs))
+                self.state.apply_rollup_batch(prep.final_tree)
+                self.metrics.batches_proven += 1
+                self.metrics.txs_processed += len(prep.txs)
+                done += 1
+                if max_batches is not None and done >= max_batches:
+                    break
+        finally:
+            stop.set()
+            self._step_lock.release()
+        return done

@@ -69,6 +69,17 @@ class ProveStats:
     verify_s: float = 0.0
 
 
+@dataclass
+class PreparedBatch:
+    """Output of the host witness stage, input of the device prove stage
+    (the DP pipeline's inter-stage token)."""
+    txs: List[Transaction]
+    witness: List[int]
+    public_signals: List[int]
+    final_tree: MerkleTree
+    witness_s: float = 0.0
+
+
 class TxProver:
     """BatchProcessTx(batch, depth) prover with cached keys."""
 
@@ -109,12 +120,13 @@ class TxProver:
             self.pk.save(self.key_path)
         return self.pk
 
-    def prove_batch(self, tree: MerkleTree, txs: List[Transaction],
-                    r: Optional[int] = None, s: Optional[int] = None
-                    ) -> Tuple[Proof, List[int], MerkleTree]:
-        """Assemble inputs from the tree snapshot, synthesize the witness,
-        prove, self-verify. Returns (proof, public inputs, final tree)."""
-        pk = self.ensure_keys()
+    def prepare_batch(self, tree: MerkleTree,
+                      txs: List[Transaction]) -> "PreparedBatch":
+        """Host stage: assemble inputs from the tree snapshot and run the
+        witness-only synthesis replay. Independent of the device, so the
+        DP pipeline (batchd.run_pipeline) executes it for batch i+1 while
+        batch i is proving — the final tree chains through assembly, not
+        through the proof."""
         t0 = time.time()
         inputs, final_tree = assemble_batch_inputs(tree, txs)
         # witness-only replay: the R1CS is static and cached (to_coo cache
@@ -122,16 +134,35 @@ class TxProver:
         res = synthesize_batch_process_tx(
             inputs, self.cfg.batch_size, self.cfg.tree_depth, record=False)
         self.stats.witness_s = time.time() - t0
+        return PreparedBatch(txs=txs, witness=res.witness,
+                             public_signals=res.public_signals,
+                             final_tree=final_tree,
+                             witness_s=self.stats.witness_s)
 
+    def prove_prepared(self, prep: "PreparedBatch",
+                       r: Optional[int] = None, s: Optional[int] = None
+                       ) -> Proof:
+        """Device stage: prove + mandatory self-verify."""
+        pk = self.ensure_keys()
         t0 = time.time()
-        proof = prove(pk, self._structure_r1cs(), res.witness, r=r, s=s)
+        proof = prove(pk, self._structure_r1cs(), prep.witness, r=r, s=s)
         self.stats.prove_s = time.time() - t0
 
         t0 = time.time()
-        if not verify(pk.vk, proof, res.public_signals):
+        if not verify(pk.vk, proof, prep.public_signals):
             raise RuntimeError("Invalid proof generated")  # common.ts:36-38
         self.stats.verify_s = time.time() - t0
-        return proof, res.public_signals, final_tree
+        return proof
+
+    def prove_batch(self, tree: MerkleTree, txs: List[Transaction],
+                    r: Optional[int] = None, s: Optional[int] = None
+                    ) -> Tuple[Proof, List[int], MerkleTree]:
+        """Assemble inputs from the tree snapshot, synthesize the witness,
+        prove, self-verify. Returns (proof, public inputs, final tree)."""
+        self.ensure_keys()
+        prep = self.prepare_batch(tree, txs)
+        proof = self.prove_prepared(prep, r=r, s=s)
+        return proof, prep.public_signals, prep.final_tree
 
 
 class WithdrawProver:

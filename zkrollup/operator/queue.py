@@ -99,11 +99,14 @@ class TxQueue:
         ).fetchall()
         return [_tx_from_json(r[0]) for r in rows]
 
-    def peek_batch(self, batch_size: int) -> Optional[List[Transaction]]:
-        """Next batch_size txs in order, or None if not enough queued."""
-        if self.pending_count() < batch_size:
+    def peek_batch(self, batch_size: int,
+                   offset: int = 0) -> Optional[List[Transaction]]:
+        """Next batch_size txs in order (skipping `offset` txs past the
+        processed cursor — the DP pipeline peeks batch i+1 while batch i
+        is still proving), or None if not enough queued."""
+        if self.pending_count() < batch_size + offset:
             return None
-        start = self.last_processed
+        start = self.last_processed + offset
         rows = self.conn.execute(
             "SELECT body FROM tx_queue WHERE idx >= ? AND idx < ? "
             "ORDER BY idx", (start, start + batch_size)).fetchall()

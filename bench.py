@@ -342,24 +342,28 @@ def main():
 
     extra = {}
     pts_per_s, baseline = bench_msm(extra)
+    # print the headline IMMEDIATELY: pallas executables are not persisted
+    # by the compilation cache, so the extra metrics below pay real compile
+    # time — a driver-side timeout must not lose the headline measurement
+    vs = round(pts_per_s / baseline, 2) if baseline else None
+    print(json.dumps({
+        "metric": "bn254_g1_msm_points_per_s",
+        "value": round(pts_per_s, 1),
+        "unit": (f"points/s (2^{LOG_N} MSM, window c={MSM_WINDOW}, 1 chip, "
+                 "distinct points; baseline = same MSM on this repo's "
+                 "native C++ Pippenger, 1 CPU core, measured)"),
+        "vs_baseline": vs,
+    }), flush=True)
+
     for fn in (bench_ntt, bench_mimc, bench_proofs, bench_scaling_model):
         try:
             fn(extra)
         except Exception as e:  # an extra metric must not kill the headline
             log(f"extra metric {fn.__name__} failed: {e!r}")
-    with open(EXTRA_PATH, "w") as f:
-        json.dump(extra, f, indent=1)
+        # checkpoint after every metric: partial results survive a timeout
+        with open(EXTRA_PATH, "w") as f:
+            json.dump(extra, f, indent=1)
     log(f"extra metrics -> {EXTRA_PATH}")
-
-    vs = round(pts_per_s / baseline, 2) if baseline else None
-    print(json.dumps({
-        "metric": "bn254_g1_msm_points_per_s",
-        "value": round(pts_per_s, 1),
-        "unit": (f"points/s (2^{LOG_N} MSM, window c={MSM_WINDOW}, 1 chip; "
-                 "baseline = same MSM on this repo's native C++ Pippenger, "
-                 "1 CPU core, measured)"),
-        "vs_baseline": vs,
-    }))
 
 
 if __name__ == "__main__":

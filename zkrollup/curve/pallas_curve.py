@@ -45,8 +45,17 @@ _MOD_NP = np.asarray(
 # -- in-kernel field primitives (operate on (16, W) uint32 blocks; `n` is the
 #    (16, 1) modulus block read from the kernel's first input ref) -----------
 
+# CIOS round-loop unroll factor. 16 = fully unrolled (round-4 behavior);
+# smaller factors wrap the rounds in a lax.fori_loop, shrinking each
+# kernel's Mosaic module ~16/u-fold — the compile-time lever (pallas
+# executables are NOT persisted by the compilation cache, so every
+# process pays these compiles). Read once at import.
+CIOS_UNROLL = int(os.environ.get("ZKROLLUP_CIOS_UNROLL", "4"))
+
+
 def _k_mont_mul(n, a, b):
-    """CIOS Montgomery product, statically unrolled (pallas_mont.py logic)."""
+    """CIOS Montgomery product (pallas_mont.py logic); round loop rolled
+    by CIOS_UNROLL (compile time) without changing the math."""
     w = a.shape[1]
     z1 = jnp.zeros((1, w), jnp.uint32)
     z2 = jnp.zeros((2, w), jnp.uint32)
@@ -56,13 +65,32 @@ def _k_mont_mul(n, a, b):
                 + jnp.concatenate([v & MASK, z2], axis=0)
                 + jnp.concatenate([z1, v >> LIMB_BITS, z1], axis=0))
 
-    t = jnp.zeros((ACC, w), jnp.uint32)
-    for i in range(N_LIMBS):
-        t = acc(t, a[i:i + 1] * b)
+    def one_round(t, ai):
+        t = acc(t, ai * b)
         m = (t[0:1] * _N0) & MASK
         t = acc(t, m * n)
         carry0 = t[0:1] >> LIMB_BITS
-        t = jnp.concatenate([t[1:2] + carry0, t[2:], z1], axis=0)
+        return jnp.concatenate([t[1:2] + carry0, t[2:], z1], axis=0)
+
+    t = jnp.zeros((ACC, w), jnp.uint32)
+    if CIOS_UNROLL >= N_LIMBS:
+        for i in range(N_LIMBS):
+            t = one_round(t, a[i:i + 1])
+    else:
+        u = max(CIOS_UNROLL, 1)
+        assert N_LIMBS % u == 0
+
+        # Mosaic supports neither partial fori_loop unroll nor
+        # dynamic_slice on values: roll the unroll factor by hand, cycling
+        # the multiplier rows through the loop carry with STATIC slices —
+        # each iteration consumes the top `u` rows and rotates them away
+        def body(j, state):
+            t, a_rot = state
+            for k in range(u):
+                t = one_round(t, a_rot[k:k + 1])
+            a_rot = jnp.concatenate([a_rot[u:], a_rot[:u]], axis=0)
+            return (t, a_rot)
+        t, _ = jax.lax.fori_loop(0, N_LIMBS // u, body, (t, a))
 
     carry = jnp.zeros((w,), jnp.uint32)
     rows = []

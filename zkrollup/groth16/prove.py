@@ -37,10 +37,10 @@ from ..ref.bn254 import R as FR_MOD
 from .keys import ProvingKey, Proof
 from .qap import to_coo
 
-# Pippenger window. 10 is the TPU sweet spot at production sizes; the env
-# override exists because compile time scales with the window (the bucket
-# scan unrolls ~3c add bodies) — tests/conftest.py sets a small window so
-# CPU test compiles stay fast. Results are identical for any window.
+# Pippenger window. 12 is the TPU sweet spot at production sizes (r5
+# matrix: c=10 and c=12 within noise on the fused program; c=12 wins the
+# single-table bench); tests/conftest.py sets a small window so CPU test
+# compiles stay fast. Results are identical for any window.
 # CONTRACT: read ONCE at import (jit caches bake it into their compiled
 # programs) — set ZKROLLUP_MSM_WINDOW before importing zkrollup, not after.
 MSM_WINDOW = int(os.environ.get("ZKROLLUP_MSM_WINDOW", "12"))
@@ -97,30 +97,59 @@ def _quotient_plain(a_e, b_e, c_e, zinv_mont):
         return FR.from_mont(h)
 
 
+def _filt_dedup(x, y, inf, scalar_idx):
+    """Drop infinity rows AND merge DUPLICATE points, mapping each source
+    row to its (unique-point, position) so per-proof scalars of merged
+    rows are segment-summed on device.
+
+    Real key tables contain systematically duplicated points: every
+    variable that appears in exactly one A-row with the same coefficient
+    set shares A_i(tau) with its row-mates (e.g. the materialize rows'
+    -1 coefficients), and squaring constraints give a var identical A and
+    B1 columns — 1020 duplicates in the (2,6) a-table alone. The scan
+    MSM's no-double-path kernels require pairwise-distinct points WITHIN
+    a table (adjacent equal points at a chunk restart are a true double —
+    caught as an invalid device proof, round 5), and merging is also
+    strictly less work: sum w_u P + w_v P = (w_u + w_v) P."""
+    keep = np.where(inf[:, 0] == 0)[0].astype(np.int32)
+    xy = np.concatenate([c[keep] for c in (x, y)], axis=1)
+    uxy, first, inv = np.unique(xy, axis=0, return_index=True,
+                                return_inverse=True)
+    n_u = uxy.shape[0]
+    kx, ky = x[keep][first], y[keep][first]
+    kinf = inf[keep][first]
+    return ((kx, ky, kinf),
+            scalar_idx[keep].astype(np.int32),       # source scalar gather
+            inv.astype(np.int32), n_u)               # merge map
+
+
 def _device_pack_g1(pk: ProvingKey):
     """Stage the four G1 key tables as ONE packed multi-table MSM problem
     (VERDICT r4 #1): infinity rows dropped (vars absent from A/B leave
-    A_i(tau) = 0 — ~5-40% of each table), tables concatenated and padded
-    to a CHUNK multiple, index maps kept so per-proof scalars are a device
-    gather. Cached on the key; points live in HBM across proofs."""
+    A_i(tau) = 0 — ~5-40% of each table), duplicate points merged
+    (_filt_dedup), tables concatenated and padded to a CHUNK multiple,
+    index/merge maps kept so per-proof scalars are one device gather +
+    segment-sum. Cached on the key; points live in HBM across proofs."""
     pack = getattr(pk, "_msm_pack_g1", None)
     if pack is not None:
         return pack
 
-    def filt(tbl):
+    def prep(tbl, scalar_idx):
         x, y, inf = (np.asarray(t) for t in tbl)
-        keep = np.where(inf[:, 0] == 0)[0].astype(np.int32)
-        return (x[keep], y[keep], inf[keep]), keep
+        return _filt_dedup(x, y, inf, scalar_idx)
 
-    (a_t, a_i) = filt(pk.a_g1)
-    (b1_t, b1_i) = filt(pk.b1_g1)
-    (c_t, c_i) = filt(pk.c_g1)
-    (h_t, h_i) = filt(pk.h_g1)
-    points, bounds = pack_tables([a_t, b1_t, c_t, h_t])
+    nv, npub = pk.n_vars, pk.n_public
+    m = pk.domain_size
+    a = prep(pk.a_g1, np.arange(nv))
+    b1 = prep(pk.b1_g1, np.arange(nv))
+    c = prep(pk.c_g1, np.arange(npub, nv))
+    h = prep(pk.h_g1, np.arange(m - 1))
+    points, bounds = pack_tables([t[0] for t in (a, b1, c, h)])
     pack = {
         "points": points, "bounds": tuple(bounds),
-        "idx": (jnp.asarray(a_i), jnp.asarray(b1_i),
-                jnp.asarray(c_i + np.int32(pk.n_public)), jnp.asarray(h_i)),
+        "idx": tuple(jnp.asarray(t[1]) for t in (a, b1, c, h)),
+        "seg": tuple(jnp.asarray(t[2]) for t in (a, b1, c, h)),
+        "n_seg": tuple(int(t[3]) for t in (a, b1, c, h)),
         "N": int(points[0].shape[0]),
     }
     object.__setattr__(pk, "_msm_pack_g1", pack)
@@ -128,28 +157,54 @@ def _device_pack_g1(pk: ProvingKey):
 
 
 def _device_pack_g2(pk: ProvingKey):
-    """Filtered b2 table: only vars appearing in B have non-infinity
-    points (~60-65% at the production circuit)."""
+    """Filtered + deduplicated b2 table: only vars appearing in B have
+    non-infinity points (~60-65% at the production circuit); duplicate
+    twist points merged like the G1 tables (_filt_dedup)."""
     pack = getattr(pk, "_msm_pack_g2", None)
     if pack is not None:
         return pack
     (x0, x1), (y0, y1), inf = (pk.b2_g2[0], pk.b2_g2[1], pk.b2_g2[2])
     x0, x1, y0, y1, inf = (np.asarray(t) for t in (x0, x1, y0, y1, inf))
     keep = np.where(inf[:, 0] == 0)[0].astype(np.int32)
-    pts = ((jnp.asarray(x0[keep]), jnp.asarray(x1[keep])),
-           (jnp.asarray(y0[keep]), jnp.asarray(y1[keep])),
-           jnp.asarray(inf[keep]))
-    pack = {"points": pts, "idx": jnp.asarray(keep)}
+    xy = np.concatenate([c[keep] for c in (x0, x1, y0, y1)], axis=1)
+    uxy, first, inv = np.unique(xy, axis=0, return_index=True,
+                                return_inverse=True)
+    sel = keep[first]
+    pts = ((jnp.asarray(x0[sel]), jnp.asarray(x1[sel])),
+           (jnp.asarray(y0[sel]), jnp.asarray(y1[sel])),
+           jnp.asarray(inf[sel]))
+    pack = {"points": pts, "idx": jnp.asarray(keep),
+            "seg": jnp.asarray(inv.astype(np.int32)),
+            "n_seg": int(uxy.shape[0])}
     object.__setattr__(pk, "_msm_pack_g2", pack)
     return pack
 
 
-@partial(jax.jit, static_argnames=("bounds", "n_total"))
-def _scalars_cat(w_plain, h_plain, idx, bounds, n_total: int):
-    """Gather the per-table scalars into the packed column layout
+def _segsum_scalars(scalars, seg, n_seg: int):
+    """Sum scalar groups of merged duplicate points, mod r. Lazy per-limb
+    uint32 accumulation (group sums < 2^18 * r < 2^272) folded back mod r
+    with the same two-mont trick _spmv uses; the result is a valid plain
+    scalar for digit decomposition (the MSM consumes scalars mod r —
+    point order r)."""
+    sums = jax.ops.segment_sum(scalars, seg, num_segments=n_seg)
+    ext = jnp.concatenate(
+        [sums, jnp.zeros((n_seg, 2), jnp.uint32)], axis=-1)
+    ext = L.propagate_carries(ext)
+    lo = ext[:, :L.N_LIMBS]
+    hi = jnp.concatenate(
+        [ext[:, L.N_LIMBS:], jnp.zeros((n_seg, L.N_LIMBS - 2), jnp.uint32)],
+        axis=-1)
+    return FR.add(FR.mont_mul(lo, FR.one_mont),
+                  FR.mont_mul(hi, FR.r2_limbs))
+
+
+@partial(jax.jit, static_argnames=("bounds", "n_total", "n_seg"))
+def _scalars_cat(w_plain, h_plain, idx, seg, n_seg, bounds, n_total: int):
+    """Gather + merge the per-table scalars into the packed column layout
     (zero scalars in the padding columns)."""
-    parts = [w_plain[idx[0]], w_plain[idx[1]], w_plain[idx[2]],
-             h_plain[idx[3]]]
+    srcs = (w_plain, w_plain, w_plain, h_plain)
+    parts = [_segsum_scalars(s[idx[t]], seg[t], n_seg[t])
+             for t, s in enumerate(srcs)]
     used = sum(l for _, l in bounds)
     if n_total > used:
         parts.append(jnp.zeros((n_total - used, L.N_LIMBS), jnp.uint32))
@@ -380,9 +435,11 @@ def prove(pk: ProvingKey, r1cs, witness: List[int],
     # ZKROLLUP_PROVE_GLV=1 re-enables the endomorphism path (slower on
     # the scan design — round-4 bench matrix).
     use_glv = os.environ.get("ZKROLLUP_PROVE_GLV", "0") == "1"
-    w_np = np.asarray(w_plain)
-    h_np = np.asarray(h_plain)[:m - 1]
     if use_glv:
+        # host-side copies only on the GLV path; on the default path they
+        # would force a device sync mid-pipeline
+        w_np = np.asarray(w_plain)
+        h_np = np.asarray(h_plain)[:m - 1]
         pi_a_msm = _g1_result(msm_glv(pk.a_g1, w_np, c=MSM_WINDOW))
         pi_b1_msm = _g1_result(msm_glv(pk.b1_g1, w_np, c=MSM_WINDOW))
         pi_c_msm = _g1_result(msm_glv(pk.c_g1, w_np[pk.n_public:],
@@ -390,8 +447,8 @@ def prove(pk: ProvingKey, r1cs, witness: List[int],
         pi_h_msm = _g1_result(msm_glv(pk.h_g1, h_np, c=MSM_WINDOW))
     else:
         pack = _device_pack_g1(pk)
-        sc_cat = _scalars_cat(w_plain, h_plain, pack["idx"],
-                              pack["bounds"], pack["N"])
+        sc_cat = _scalars_cat(w_plain, h_plain, pack["idx"], pack["seg"],
+                              pack["n_seg"], pack["bounds"], pack["N"])
         res = msm_multi_host_combine(
             g1_jax.G1, pack["points"], pack["bounds"], sc_cat,
             c=MSM_WINDOW, distinct=True)
@@ -415,7 +472,8 @@ def prove(pk: ProvingKey, r1cs, witness: List[int],
     else:
         from ..msm.msm import _window_sums_jit, _clamp_window
         g2p = _device_pack_g2(pk)
-        sc2 = w_plain[g2p["idx"]]
+        sc2 = jax.jit(_segsum_scalars, static_argnames=("n_seg",))(
+            w_plain[g2p["idx"]], g2p["seg"], n_seg=g2p["n_seg"])
         c2 = _clamp_window(min(MSM_WINDOW, 12), int(sc2.shape[0]))
         with jax.named_scope("groth16.msm_g2"):
             wsum2, _ = _window_sums_jit(g2_jax.G2)(

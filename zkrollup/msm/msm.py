@@ -169,9 +169,16 @@ def _excl_prefix_chunked_axis1(curve, pts, distinct: bool):
         totals_p = jax.tree_util.tree_map(
             lambda a, i: jnp.concatenate([a, i], axis=1), totals,
             curve.infinity((W, nq_pad - nq)))
-    addfn = curve.add_nd if distinct else None
+    # SAFE adds for the Blelloch over chunk totals even in distinct mode:
+    # chunk totals are sums over different column ranges, and with MULTI-
+    # TABLE packing those can be EQUAL points systematically — a squaring
+    # constraint (t, t, t2) gives var t2 identical A- and B1-columns, so
+    # the a and b1 tables share thousands of points, and zero-digit
+    # regions sort them into aligned runs (caught as an invalid device
+    # proof at (2,6); the distinct contract only holds WITHIN a sorted
+    # same-key run, i.e. for the sequential scan leg)
     chunk_excl, total = _excl_prefix_scan_axis1(
-        curve, totals_p, return_total=True, addfn=addfn)
+        curve, totals_p, return_total=True)
     if nq_pad != nq:
         chunk_excl = _tree(lambda a: a[:, :nq], chunk_excl)
     return within, chunk_excl, total
@@ -353,8 +360,9 @@ def _flat_window_sums_scan2(curve: JacobianCurve, keys, xy, inf, c: int,
     k_idx = safe % K
     cpart = _tree(lambda a: a[rows, q_idx], chunk_excl)
     wpart = _tree(lambda a: a[k_idx, rows, q_idx], within)
-    gathered = _add_2d(curve, cpart, wpart,
-                       curve.add_nd if distinct else None)
+    # safe add: chunk-prefix and within-chunk-prefix of a multi-table row
+    # can coincide as points (see _excl_prefix_chunked_axis1 note)
+    gathered = _add_2d(curve, cpart, wpart)
     total_b = _tree(
         lambda a: jnp.broadcast_to(
             a[:, None], (W, n_tables * B) + a.shape[1:]), total)
@@ -373,8 +381,11 @@ def _flat_window_sums_scan2(curve: JacobianCurve, keys, xy, inf, c: int,
     end_b = _tree(
         lambda a: jnp.broadcast_to(a, (W, n_tables, B - 1) + a.shape[3:]),
         end_neg)
-    t_vals = _add_2d(curve, svals, end_b,
-                     curve.add_nd if distinct else None)
+    # subtraction operands are nested suffix sums: equality means an empty
+    # middle and identical lazy representations, which the no-double
+    # kernel resolves exactly (H = 0, R != 0 -> infinity) — but play safe
+    # here too; the cost is one add over (W, T*(B-1)) lanes
+    t_vals = _add_2d(curve, svals, end_b)
 
     # per-(table, window) reduction: pad B-1 -> B; adjacent T values ARE
     # equal whenever a digit goes unused, so this stays on the safe add

@@ -435,6 +435,12 @@ def prove(pk: ProvingKey, r1cs, witness: List[int],
     # ZKROLLUP_PROVE_GLV=1 re-enables the endomorphism path (slower on
     # the scan design — round-4 bench matrix).
     use_glv = os.environ.get("ZKROLLUP_PROVE_GLV", "0") == "1"
+    g2_backend = os.environ.get("ZKROLLUP_G2_BACKEND", "device")
+    from ..native import engine
+    from ..msm.msm import _multi_window_sums_jit, _window_sums_jit, \
+        _clamp_window
+    from ..msm.glv import combine_window_sums_host
+
     if use_glv:
         # host-side copies only on the GLV path; on the default path they
         # would force a device sync mid-pipeline
@@ -445,24 +451,45 @@ def prove(pk: ProvingKey, r1cs, witness: List[int],
         pi_c_msm = _g1_result(msm_glv(pk.c_g1, w_np[pk.n_public:],
                                       c=MSM_WINDOW))
         pi_h_msm = _g1_result(msm_glv(pk.h_g1, h_np, c=MSM_WINDOW))
+        wsum2 = None
     else:
+        # DISPATCH both MSM programs before any host-side combine syncs:
+        # the device queues G1 then G2 back-to-back, so the G2 MSM runs
+        # while the host Horner-combines the G1 window sums.
         pack = _device_pack_g1(pk)
         sc_cat = _scalars_cat(w_plain, h_plain, pack["idx"], pack["seg"],
                               pack["n_seg"], pack["bounds"], pack["N"])
-        res = msm_multi_host_combine(
-            g1_jax.G1, pack["points"], pack["bounds"], sc_cat,
-            c=MSM_WINDOW, distinct=True)
+        c1 = _clamp_window(MSM_WINDOW, max(l for _, l in pack["bounds"]))
+        with jax.named_scope("groth16.msm_g1"):
+            wsum1, _ = _multi_window_sums_jit(g1_jax.G1)(
+                tuple(pack["points"]), sc_cat, c=c1,
+                bounds=pack["bounds"], distinct=True)
+
+        wsum2 = None
+        if not (g2_backend == "host" and engine.available()):
+            g2p = _device_pack_g2(pk)
+            sc2 = jax.jit(_segsum_scalars, static_argnames=("n_seg",))(
+                w_plain[g2p["idx"]], g2p["seg"], n_seg=g2p["n_seg"])
+            c2 = _clamp_window(min(MSM_WINDOW, 12), int(sc2.shape[0]))
+            with jax.named_scope("groth16.msm_g2"):
+                wsum2, _ = _window_sums_jit(g2_jax.G2)(
+                    tuple(g2p["points"]), sc2, c=c2, n_bits=256,
+                    distinct=True)
+
+        tmap = lambda f, t: jax.tree_util.tree_map(f, t)
+        parts = [combine_window_sums_host(
+            tmap(lambda a: a[:, t], wsum1), c1) for t in range(4)]
         pi_a_msm, pi_b1_msm, pi_c_msm, pi_h_msm = (
-            _g1_result(p) for p in res)
+            _g1_result(p) for p in parts)
 
     # The single G2 MSM: on-device via the same chunked scan through the
     # fused Fq2 Pallas kernels (pallas_curve_g2.py — the round-4 compile
     # pathology is gone because each unified add is ONE kernel). The host
     # C++ engine remains available as an explicit opt-in
     # (ZKROLLUP_G2_BACKEND=host) for overlap scheduling.
-    g2_backend = os.environ.get("ZKROLLUP_G2_BACKEND", "device")
-    from ..native import engine
-    if g2_backend == "host" and engine.available():
+    if wsum2 is not None:
+        pi_b_msm = combine_window_sums_host_g2(wsum2, c2)
+    elif g2_backend == "host" and engine.available():
         tbl = getattr(pk, "_host_b2", None)
         if tbl is None:
             tbl = engine.pack_g2_table_mont(pk.b2_g2)
@@ -470,14 +497,13 @@ def prove(pk: ProvingKey, r1cs, witness: List[int],
         pi_b_msm = engine.g2_msm_pip(
             tbl, engine.ints_to_fr_bytes(witness), pk.n_vars)
     else:
-        from ..msm.msm import _window_sums_jit, _clamp_window
+        # GLV path without host engine: device G2 via the packed table
         g2p = _device_pack_g2(pk)
         sc2 = jax.jit(_segsum_scalars, static_argnames=("n_seg",))(
             w_plain[g2p["idx"]], g2p["seg"], n_seg=g2p["n_seg"])
         c2 = _clamp_window(min(MSM_WINDOW, 12), int(sc2.shape[0]))
-        with jax.named_scope("groth16.msm_g2"):
-            wsum2, _ = _window_sums_jit(g2_jax.G2)(
-                tuple(g2p["points"]), sc2, c=c2, n_bits=256, distinct=True)
+        wsum2, _ = _window_sums_jit(g2_jax.G2)(
+            tuple(g2p["points"]), sc2, c=c2, n_bits=256, distinct=True)
         pi_b_msm = combine_window_sums_host_g2(wsum2, c2)
 
     return _blind_combine(pk, pi_a_msm, pi_b_msm, pi_b1_msm, pi_c_msm,

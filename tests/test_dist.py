@@ -208,3 +208,39 @@ class TestTableGroupProve:
                       table_groups=4)
         assert (p_full.a, p_full.b, p_full.c) == (p_grp.a, p_grp.b, p_grp.c)
         assert verify(pk.vk, p_grp, bld.public_signals())
+
+
+class TestDistTablePadding:
+    """Shape-level checks of the mesh key-table padding at REAL (2,6)
+    dimensions (n_vars 117114, domain 2^17) — the layouts that
+    prove(mesh=...) reshapes into (d, pad/d) blocks — including mesh
+    sizes that do NOT divide the domain (the r4 advisor finding). Fast:
+    no curve math, just the padding arithmetic on zero tables."""
+
+    def _fake_pk(self, n_vars=117114, n_public=75, m=1 << 17):
+        import types
+        z1 = np.zeros((n_vars, 16), np.uint32)
+        inf = np.ones((n_vars, 1), bool)
+        g1 = (z1, z1.copy(), inf)
+        zh = np.zeros((m - 1, 16), np.uint32)
+        h = (zh, zh.copy(), np.ones((m - 1, 1), bool))
+        zc = np.zeros((n_vars - n_public, 16), np.uint32)
+        c = (zc, zc.copy(), np.ones((n_vars - n_public, 1), bool))
+        b2 = ((z1, z1.copy()), (z1.copy(), z1.copy()), inf.copy())
+        return types.SimpleNamespace(
+            domain_size=m, n_vars=n_vars, n_public=n_public,
+            a_g1=g1, b1_g1=g1, c_g1=c, h_g1=h, b2_g2=b2)
+
+    @pytest.mark.parametrize("d", [6, 8, 12])
+    def test_pad_divisible_at_production_shapes(self, d):
+        from zkrollup.groth16.prove import _dist_tables
+        pk = self._fake_pk()
+        tbl = _dist_tables(pk, d)
+        pad_to = tbl["pad_to"]
+        assert pad_to % d == 0
+        assert pad_to >= max(pk.domain_size, pk.n_vars)
+        for key in ("a", "b1", "c", "h"):
+            x, y, inf = tbl[key]
+            assert x.shape[0] == pad_to and inf.shape[0] == pad_to
+        (bx0, bx1), (by0, by1), binf = tbl["b2"]
+        assert bx0.shape[0] == pad_to and binf.shape[0] == pad_to

@@ -25,6 +25,9 @@ def test_g2_kernels_differential():
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_backend_optimization_level=1"
+    # quick subset: interpret mode compiles each kernel body (~4 min for
+    # the big Fq2 kernels); full coverage = `python tools/g2_kernel_check.py`
+    env["G2_CHECK_SUBSET"] = "quick"
     res = subprocess.run([sys.executable, tool], env=env,
                          capture_output=True, text=True, timeout=560)
     assert res.returncode == 0, res.stdout[-3000:] + res.stderr[-2000:]

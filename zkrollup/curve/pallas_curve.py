@@ -73,7 +73,10 @@ def _k_mont_mul(n, a, b):
         return jnp.concatenate([t[1:2] + carry0, t[2:], z1], axis=0)
 
     t = jnp.zeros((ACC, w), jnp.uint32)
-    if CIOS_UNROLL >= N_LIMBS:
+    # interpret mode (tests, off-TPU) must use the unrolled form: an eager
+    # lax.fori_loop compiles its body per call site, which is far slower
+    # than the plain eager ops it replaces
+    if CIOS_UNROLL >= N_LIMBS or jax.default_backend() != "tpu":
         for i in range(N_LIMBS):
             t = one_round(t, a[i:i + 1])
     else:
@@ -446,10 +449,10 @@ def _interpret() -> bool:
 
 def _pallas_pointwise(kernel, n_out: int, *coords):
     """Run `kernel` over (n, 16) coordinate arrays tiled to (16, TILE).
-    In interpret mode (tests) per-op dispatch dominates and the grid
-    loops in python — run ONE grid step over the whole batch off-TPU."""
+    In interpret mode (tests) per-op dispatch dominates — a fixed
+    128-lane tile keeps one grid step for test batches."""
     n = coords[0].shape[0]
-    tile = n if _interpret() else TILE
+    tile = 128 if _interpret() else TILE
     n_pad = -(-n // tile) * tile
     ins = []
     for c in coords:

@@ -256,10 +256,10 @@ def _flatten_pt(p):
 
 def _pallas_pointwise(kernel, *coords):
     n = coords[0].shape[0]
-    # interpret mode (tests) evaluates the kernel eagerly: per-op DISPATCH
-    # dominates and the grid loops in python, so use ONE grid step over
-    # the whole (unaligned) batch off-TPU
-    tile = n if _interpret() else TILE
+    # interpret mode (tests): per-op dispatch dominates; a fixed 128-lane
+    # tile keeps one grid step for test batches without the slow sub-lane
+    # shapes a tile of exactly n produces
+    tile = 128 if _interpret() else TILE
     n_pad = -(-n // tile) * tile
     ins = []
     for c in coords:

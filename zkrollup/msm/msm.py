@@ -230,8 +230,10 @@ if _TREE_MODE not in ("scan", "scan1", "affine", "jacobian"):
         "bake the choice in); set it before importing zkrollup.")
 
 # chunk length of the sequential scan leg; the adds overhead vs a perfect
-# n-add scan is 2/K (the Blelloch over chunk totals)
-CHUNK = int(os.environ.get("ZKROLLUP_MSM_CHUNK", "64"))
+# n-add scan is 2/K (the Blelloch over chunk totals). 128 beat 64 by ~8%
+# at 2^17/c=12 on chip (round-5 sweep, tools/msm_sweep.py); 64 remains
+# fine on small/test shapes.
+CHUNK = int(os.environ.get("ZKROLLUP_MSM_CHUNK", "128"))
 
 
 def _flat_window_sums_scan(curve: JacobianCurve, digits, xy, inf, c: int):

@@ -185,7 +185,15 @@ class Builder:
 
     def value(self, lc) -> int:
         lc = _as_lc(lc)
-        return sum(c * self.values[k] for k, c in lc.terms.items()) % P
+        terms = lc.terms
+        if len(terms) == 1:  # single-term LCs dominate the replay
+            (k, c), = terms.items()
+            return c * self.values[k] % P
+        vals = self.values
+        acc = 0
+        for k, c in terms.items():
+            acc += c * vals[k]
+        return acc % P
 
     # -- constraints -------------------------------------------------------
 
@@ -198,7 +206,11 @@ class Builder:
                 raise AssertionError(
                     f"unsatisfied constraint #{len(self.constraints)}: "
                     f"{va} * {vb} != {vc}")
-        self.constraints.append((dict(a.terms), dict(b.terms), dict(c.terms)))
+        if self.record:
+            self.constraints.append(
+                (dict(a.terms), dict(b.terms), dict(c.terms)))
+        else:  # witness-only replay: count the row, skip the dict copies
+            self.constraints.append(None)
 
     def enforce_zero(self, lc) -> None:
         self.enforce(lc, LC.const(1), LC.const(0))
@@ -226,14 +238,16 @@ class Builder:
         (so `a` must be nonzero for satisfiability)."""
         a = _as_lc(a)
         va = self.value(a)
-        out = self.alloc(pow(va, P - 2, P) if va else 0)
+        # pow(x, -1, p) is extgcd — ~50x faster than Fermat on 254 bits
+        out = self.alloc(pow(va, -1, P) if va else 0)
         self.enforce(a, out, LC.const(1))
         return out
 
     def div(self, a, b) -> LC:
         """a / b with b != 0 enforced via witness inverse."""
         a, b = _as_lc(a), _as_lc(b)
-        out = self.alloc(self.value(a) * pow(self.value(b), P - 2, P) % P)
+        vb = self.value(b)
+        out = self.alloc(self.value(a) * pow(vb, -1, P) % P if vb else 0)
         self.enforce(b, out, a)
         return out
 

@@ -84,7 +84,7 @@ def num2bits_strict(bld: Builder, x) -> List[LC]:
 def is_zero(bld: Builder, x) -> LC:
     x = _as_lc(x)
     v = bld.value(x)
-    inv = bld.alloc(pow(v, P - 2, P) if v else 0)
+    inv = bld.alloc(pow(v, -1, P) if v else 0)
     out = bld.alloc(0 if v else 1)
     bld.enforce(x, inv, LC.const(1) - out)
     bld.enforce(x, out, 0)

@@ -44,8 +44,8 @@ def add(p, q):
     x1x2 = x1 * x2 % P
     y1y2 = y1 * y2 % P
     dxy = D * x1x2 % P * y1y2 % P
-    x3 = (x1 * y2 + y1 * x2) * pow(1 + dxy, P - 2, P) % P
-    y3 = (y1y2 - A * x1x2) * pow(1 - dxy, P - 2, P) % P
+    x3 = (x1 * y2 + y1 * x2) * pow(1 + dxy, -1, P) % P
+    y3 = (y1y2 - A * x1x2) * pow(1 - dxy, -1, P) % P
     return (x3, y3)
 
 

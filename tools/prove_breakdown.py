@@ -62,7 +62,8 @@ prep = prover.prepare_batch(state.load_tree(),
                             queue.peek_batch(CFG.batch_size))
 witness = prep.witness
 
-from zkrollup.groth16 import prove as PM
+import zkrollup.groth16.prove  # noqa: F401
+PM = sys.modules["zkrollup.groth16.prove"]
 from zkrollup.groth16.prove import (_abc_evals, _quotient_plain,
                                     _device_pack_g1, _device_pack_g2,
                                     _scalars_cat, _segsum_scalars,

@@ -30,7 +30,8 @@ from ..fields.mont import FR
 from ..fields import limbs as L
 from ..ntt.ntt import intt_mont, coset_ntt_mont, coset_intt_mont, COSET_SHIFT
 from ..msm.msm import msm, pack_tables, msm_multi_host_combine
-from ..msm.glv import msm_glv, combine_window_sums_host_g2
+from ..msm.glv import (msm_glv, combine_window_sums_host_g2,
+                       combine_multi_window_sums_host)
 from ..curve import g1_jax, g2_jax
 from ..ref import bn254 as ref
 from ..ref.bn254 import R as FR_MOD
@@ -44,6 +45,8 @@ from .qap import to_coo
 # CONTRACT: read ONCE at import (jit caches bake it into their compiled
 # programs) — set ZKROLLUP_MSM_WINDOW before importing zkrollup, not after.
 MSM_WINDOW = int(os.environ.get("ZKROLLUP_MSM_WINDOW", "12"))
+
+_to_mont_jit = jax.jit(lambda a: FR.to_mont(a))
 
 
 # -- sparse matrix-vector product over the domain -----------------------------
@@ -413,7 +416,9 @@ def prove(pk: ProvingKey, r1cs, witness: List[int],
     assert m == pk.domain_size, "key/domain mismatch"
 
     w_plain = jnp.asarray(L.ints_to_limbs([w % FR_MOD for w in witness]))
-    w_mont = FR.to_mont(w_plain)
+    # ONE compiled program: eager to_mont dispatches ~2k tiny ops over the
+    # axon tunnel (~3.1s measured at (2,6) vs ~5ms jitted)
+    w_mont = _to_mont_jit(w_plain)
 
     # 1-2: evaluations + quotient polynomial
     coo_dev = ((jnp.asarray(coo.a_row), jnp.asarray(coo.a_var),
@@ -439,7 +444,6 @@ def prove(pk: ProvingKey, r1cs, witness: List[int],
     from ..native import engine
     from ..msm.msm import _multi_window_sums_jit, _window_sums_jit, \
         _clamp_window
-    from ..msm.glv import combine_window_sums_host
 
     if use_glv:
         # host-side copies only on the GLV path; on the default path they
@@ -476,11 +480,10 @@ def prove(pk: ProvingKey, r1cs, witness: List[int],
                     tuple(g2p["points"]), sc2, c=c2, n_bits=256,
                     distinct=True)
 
-        tmap = lambda f, t: jax.tree_util.tree_map(f, t)
-        parts = [combine_window_sums_host(
-            tmap(lambda a: a[:, t], wsum1), c1) for t in range(4)]
-        pi_a_msm, pi_b1_msm, pi_c_msm, pi_h_msm = (
-            _g1_result(p) for p in parts)
+        # one device->host transfer for the whole (W, 4) window-sum block;
+        # per-table device slicing costs ~40ms/dispatch on the axon tunnel
+        pi_a_msm, pi_b1_msm, pi_c_msm, pi_h_msm = \
+            combine_multi_window_sums_host(wsum1, c1)
 
     # The single G2 MSM: on-device via the same chunked scan through the
     # fused Fq2 Pallas kernels (pallas_curve_g2.py — the round-4 compile

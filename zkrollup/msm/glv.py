@@ -133,6 +133,39 @@ def combine_window_sums_host(wsum, c: int):
     return (pack(res[0]), pack(res[1]), pack(res[2]))
 
 
+def combine_multi_window_sums_host(wsum, c: int):
+    """Horner-combine a fused multi-table window-sum block on the host.
+
+    wsum: Jacobian pytree with (W, T, 16) Montgomery-limb leaves — the
+    output of the packed multi-table MSM (msm_multi_host_combine's window
+    stage). ONE device->host transfer per coordinate (eager per-table
+    slicing costs ~40ms/dispatch on the axon tunnel — round-5 breakdown:
+    1.47s for 4 tables the sliced way, ~20ms this way), then pure-python
+    Horner per table. Returns a list of T host AFFINE points (x, y)|None —
+    exactly what _blind_combine consumes."""
+    xs, ys, zs = (np.asarray(wsum[i]) for i in range(3))
+    W, T = xs.shape[0], xs.shape[1]
+    Xs = FQ.from_mont_host(xs.reshape(-1, 16))
+    Ys = FQ.from_mont_host(ys.reshape(-1, 16))
+    Zs = FQ.from_mont_host(zs.reshape(-1, 16))
+    out = []
+    for t in range(T):
+        res = (0, 1, 0)
+        for w in range(W - 1, -1, -1):
+            for _ in range(c):
+                res = ref.g1_jac_double(res)
+            res = ref.g1_jac_add(res, (Xs[w * T + t], Ys[w * T + t],
+                                       Zs[w * T + t]))
+        out.append(ref.g1_jac_to_affine(res))
+    return out
+
+
+# one stacked D2H transfer for a G2 window-sum pytree (6 leaves): eager
+# per-leaf np.asarray syncs cost ~30ms each over the axon tunnel
+_stack_leaves_jit = jax.jit(
+    lambda t: jnp.stack(jax.tree_util.tree_leaves(t)))
+
+
 def combine_window_sums_host_g2(wsum, c: int):
     """G2 Horner combine on the host: ~W*(c+1) single-point twist ops vs
     hundreds of dispatch-bound batch-1 Fq2 kernels on device. wsum: G2
@@ -140,6 +173,12 @@ def combine_window_sums_host_g2(wsum, c: int):
     point ((x0,x1),(y0,y1)) | None — the shape prove.py's blinding
     combine consumes."""
     from ..curve import g2_jax
+    leaves = jax.tree_util.tree_leaves(wsum)
+    if len(leaves) == 6 and all(
+            l.shape == leaves[0].shape for l in leaves):
+        flat = np.asarray(_stack_leaves_jit(wsum))       # ONE transfer
+        wsum = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(wsum), list(flat))
     pts = g2_jax.to_affine_host(wsum)
     res = None
     for w in range(len(pts) - 1, -1, -1):

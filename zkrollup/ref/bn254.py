@@ -23,7 +23,10 @@ ATE_LOOP_COUNT = 6 * BN_T + 2  # 29793968203157093288
 
 
 def inv_mod(a: int, m: int) -> int:
-    return pow(a % m, m - 2, m)
+    # extgcd (CPython pow(-1)) — ~50x faster than Fermat at 254 bits.
+    # inv_mod(0) = 0 preserved (Fermat's pow(0, m-2, m) behavior).
+    a %= m
+    return pow(a, -1, m) if a else 0
 
 
 # ---------------------------------------------------------------------------
